@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the validation engine.
+
+Designed for a multi-executor cluster (the settings below are the ones that
+matter at 100 TB: AQE + skew-join handling, sane shuffle parallelism,
+Arrow batching for the pandas-UDF fallback stages). Tests/bench run the
+same configs on ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for local[32]/128GiB sandbox; on a real cluster these are
+# overridden via spark-submit --conf (shuffle.partitions ~ 2-3x total cores,
+# maxPartitionBytes sized so a scan task's batch fits executor memory).
+_DEFAULT_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "valico_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` falls back to ``$SPARK_GRAFT_MASTER`` then
+    ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``).
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(_DEFAULT_CONFS)
+    if extra_conf:
+        confs.update(extra_conf)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
