@@ -1,0 +1,854 @@
+"""Rule compiler: valico-style JSON Schema → vectorized Spark Column plan.
+
+This is the engine's hot path. A ruleset (same JSON-Schema dialect the
+reference validates, SURVEY.md §2) is compiled **once on the driver**
+against the *typed* Spark schema of the audited table, producing a single
+``Column`` expression that evaluates to ``array<struct<code,title,path,
+detail,states>>`` per row — empty array ⇔ valid document. Everything is
+built-in ``pyspark.sql.functions`` (whole-stage codegen, no Python in the
+row loop); higher-order functions (``transform``/``filter``/``forall``/
+``exists``/``aggregate``) handle array keywords.
+
+Semantics contract: identical verdicts and ``(code, title, path, detail)``
+rows to ``pyvalidator`` (the reference-parity oracle) for the supported
+subset, property-tested in ``tests/test_column_parity.py``. The mapping of
+valico's dynamic-JSON semantics onto typed columns:
+
+* a SQL ``NULL`` is *absent* (JSON has explicit ``null``; Parquet/Iceberg
+  typed columns do not distinguish null from missing) — ``required`` fires
+  on NULL, value keywords skip NULL (valico's nonstrict skip,
+  validators/mod.rs:24-33);
+* ``type`` is checked statically against the Spark type where decidable
+  (free at scan time); only integer-ness of float columns is a runtime
+  check (``validators/type_.rs:23-27``);
+* keywords valico skips on type mismatch compile to a static no-op when
+  the column type can never match — same verdict, zero runtime cost.
+
+Constructs that need the dynamic walker (``unevaluated*`` with
+branch-dependent evaluated sets, recursive ``$ref``, heterogeneous JSON)
+raise ``UnsupportedRule``; ``operators.validate`` then routes the document
+to the Arrow-batched fallback stage instead.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from valico_spark.compiler.errors import SCHEMA_TITLES
+from valico_spark.compiler.pyvalidator import (
+    DRAFT2019, DRAFT7, EPSILON, PRIMITIVE_TYPES, is_number,
+)
+
+VIOLATION_DDL = ("array<struct<code:string,title:string,path:string,"
+                 "detail:string,states:string>>")
+
+
+class UnsupportedRule(Exception):
+    """Raised when a schema construct needs the Arrow fallback path."""
+
+
+def empty_violations() -> Column:
+    return F.array().cast(VIOLATION_DDL)
+
+
+def make_violation(code: str, path: Column, detail: Column | None = None,
+                   states: Column | None = None) -> Column:
+    return F.struct(
+        F.lit(code).alias("code"),
+        F.lit(SCHEMA_TITLES[code]).alias("title"),
+        path.alias("path"),
+        (detail if detail is not None
+         else F.lit(None).cast("string")).alias("detail"),
+        (states if states is not None
+         else F.lit(None).cast("string")).alias("states"),
+    )
+
+
+def _maybe(cond: Column, violation: Column) -> Column:
+    """Array with one violation when ``cond`` (guarded) else empty."""
+    return F.when(cond, F.array(violation)).otherwise(empty_violations())
+
+
+def _concat(arrays: list[Column]) -> Column:
+    arrays = [a for a in arrays if a is not None]
+    if not arrays:
+        return empty_violations()
+    if len(arrays) == 1:
+        return arrays[0]
+    return F.concat(*arrays)
+
+
+@dataclass
+class Target:
+    """The value a subschema is applied to."""
+    col: Column
+    dtype: T.DataType | None   # None → dynamic (inside map values)
+    path: Column               # JSON-pointer string column
+    # NULL ≡ absent. Value keywords skip absent values; `required`
+    # (evaluated by the parent) is the only keyword that reports them.
+
+    def child(self, col: Column, dtype, path: Column) -> "Target":
+        return Target(col=col, dtype=dtype, path=path)
+
+
+def spark_json_types(dtype: T.DataType | None) -> set[str] | None:
+    """JSON primitive types a Spark type can materialize. None = unknown."""
+    if dtype is None:
+        return None
+    if isinstance(dtype, T.StringType):
+        return {"string"}
+    if isinstance(dtype, T.BooleanType):
+        return {"boolean"}
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return {"integer", "number"}
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return {"number", "integer"}  # integer iff whole (runtime)
+    if isinstance(dtype, T.ArrayType):
+        return {"array"}
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return {"object"}
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return {"string"}  # serialized as ISO strings in the JSON view
+    if isinstance(dtype, T.NullType):
+        return set()
+    raise UnsupportedRule(f"untyped/unsupported Spark type {dtype}")
+
+
+def _is_float(dtype) -> bool:
+    return isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType))
+
+
+def _is_numeric(dtype) -> bool:
+    return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                              T.LongType, T.FloatType, T.DoubleType,
+                              T.DecimalType))
+
+
+class ColumnCompiler:
+    """Compiles one ruleset against one typed target.
+
+    Mirrors the reference's compile-once / validate-many split
+    (schema.rs:128 vs :567): compilation happens once on the driver, the
+    emitted Column DAG is optimized by Catalyst and codegen'd.
+    """
+
+    def __init__(self, version: int = DRAFT7, root_schema: Any = None):
+        self.version = version
+        self.root_schema = root_schema  # for local $ref resolution
+
+    # -- entry ----------------------------------------------------------
+    def compile(self, schema: Any, target: Target) -> Column:
+        """Return the violations-array Column for ``schema`` at ``target``."""
+        return self._node(schema, target, depth=0)
+
+    # -- $ref (compile-time inlining; SURVEY.md §2.4) --------------------
+    _MAX_REF_DEPTH = 24
+
+    def _resolve_ref(self, ref: str) -> Any:
+        if not ref.startswith("#"):
+            raise UnsupportedRule(f"external $ref {ref!r}")
+        if ref == "#":
+            return self.root_schema
+        if not ref.startswith("#/"):
+            raise UnsupportedRule(f"anchor $ref {ref!r}")
+        node = self.root_schema
+        for raw in ref[2:].split("/"):
+            key = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, dict) and key in node:
+                node = node[key]
+            elif isinstance(node, list) and key.isdigit():
+                node = node[int(key)]
+            else:
+                raise UnsupportedRule(f"unresolvable $ref {ref!r}")
+        return node
+
+    # -- node ------------------------------------------------------------
+    def _node(self, schema: Any, target: Target, depth: int) -> Column:
+        if depth > self._MAX_REF_DEPTH:
+            raise UnsupportedRule("recursive $ref beyond inlining depth")
+        if schema is True:
+            schema = {}
+        elif schema is False:
+            schema = {"not": {}}
+        if not isinstance(schema, dict):
+            raise UnsupportedRule("schema must be an object or boolean")
+
+        if "$ref" in schema and self.version < DRAFT2019:
+            # exclusive pre-2019-09: $ref replaces all siblings
+            # (schema.rs:344-362)
+            return self._node(self._resolve_ref(schema["$ref"]), target,
+                              depth + 1)
+
+        parts: list[Column] = []
+        if "$ref" in schema:
+            parts.append(self._node(self._resolve_ref(schema["$ref"]),
+                                    target, depth + 1))
+
+        s, t = schema, target
+        d = depth
+        if "type" in s:
+            parts.append(self._type(s["type"], t))
+        if "enum" in s:
+            parts.append(self._enum(s["enum"], t))
+        if "const" in s:
+            parts.append(self._const(s["const"], t))
+        for kw, op in (("minimum", "min"), ("maximum", "max"),
+                       ("exclusiveMinimum", "emin"),
+                       ("exclusiveMaximum", "emax")):
+            if kw in s:
+                parts.append(self._bound(s[kw], op, t))
+        if "multipleOf" in s:
+            parts.append(self._multiple_of(s["multipleOf"], t))
+        if "minLength" in s:
+            parts.append(self._length(s["minLength"], False, t))
+        if "maxLength" in s:
+            parts.append(self._length(s["maxLength"], True, t))
+        if "pattern" in s:
+            parts.append(self._pattern(s["pattern"], t))
+        if "format" in s:
+            parts.append(self._format(s["format"], t))
+        if "required" in s:
+            parts.append(self._required(s["required"], t))
+        if "properties" in s or "additionalProperties" in s \
+                or "patternProperties" in s:
+            parts.append(self._properties(s, t, d))
+        if "propertyNames" in s:
+            parts.append(self._property_names(s["propertyNames"], t, d))
+        if "minProperties" in s:
+            parts.append(self._props_count(s["minProperties"], False, t))
+        if "maxProperties" in s:
+            parts.append(self._props_count(s["maxProperties"], True, t))
+        if "dependencies" in s or "dependentRequired" in s \
+                or "dependentSchemas" in s:
+            parts.append(self._dependencies(s, t, d))
+        if "items" in s or "additionalItems" in s:
+            parts.append(self._items(s, t, d))
+        if "minItems" in s:
+            parts.append(self._items_count(s["minItems"], False, t))
+        if "maxItems" in s:
+            parts.append(self._items_count(s["maxItems"], True, t))
+        if "uniqueItems" in s and s["uniqueItems"] is True:
+            parts.append(self._unique_items(t))
+        if "contains" in s:
+            parts.append(self._contains(s, t, d))
+        if "allOf" in s:
+            parts.append(self._all_of(s["allOf"], t, d))
+        if "anyOf" in s:
+            parts.append(self._any_of(s["anyOf"], t, d))
+        if "oneOf" in s:
+            parts.append(self._one_of(s["oneOf"], t, d))
+        if "not" in s:
+            parts.append(self._not(s["not"], t, d))
+        if "if" in s:
+            parts.append(self._conditional(s, t, d))
+        if "unevaluatedProperties" in s or "unevaluatedItems" in s:
+            if self.version >= DRAFT2019:
+                raise UnsupportedRule(
+                    "unevaluated* needs the dynamic evaluated-set walker")
+        if "contentEncoding" in s or "contentMediaType" in s:
+            parts.append(self._content_media(s, t))
+
+        return _concat(parts)
+
+    # -- keyword emitters -------------------------------------------------
+    def _type(self, ty: Any, t: Target) -> Column:
+        types = [ty] if isinstance(ty, str) else list(ty)
+        for x in types:
+            if x not in PRIMITIVE_TYPES:
+                raise UnsupportedRule(f"unknown type {x!r}")
+        if isinstance(ty, str):
+            detail = F.lit(f"The value must be {ty}")
+        else:
+            detail = F.lit("The value must be any of: " + ", ".join(types))
+        possible = spark_json_types(t.dtype)
+        if possible is None:
+            raise UnsupportedRule("dynamic type check on untyped target")
+        # "null" in the requested set: absent/NULL passes anyway (we skip
+        # on NULL), so it adds nothing beyond the skip guard.
+        sat = possible & set(types)
+        if sat == possible and not (
+                _is_float(t.dtype) and "integer" in types
+                and "number" not in types):
+            return empty_violations()  # statically satisfied
+        if not sat:
+            # can never match → violation whenever present
+            return _maybe(t.col.isNotNull(),
+                          make_violation("wrong_type", t.path, detail))
+        if _is_float(t.dtype) and "integer" in types and "number" not in types:
+            # runtime whole-float check (type_.rs:23-27)
+            bad = t.col.isNotNull() & ~(t.col == F.floor(t.col))
+            return _maybe(bad, make_violation("wrong_type", t.path, detail))
+        return empty_violations()
+
+    def _enum(self, values: list, t: Target) -> Column:
+        if not isinstance(values, list) or not values:
+            raise UnsupportedRule("enum must be a non-empty array")
+        if any(isinstance(v, (list, dict)) for v in values):
+            raise UnsupportedRule("composite enum constants")
+        possible = spark_json_types(t.dtype)
+        if possible is None:
+            raise UnsupportedRule("enum on untyped target")
+        comparable = []
+        for v in values:
+            if isinstance(v, bool):
+                if "boolean" in possible:
+                    comparable.append(v)
+            elif is_number(v):
+                if "number" in possible:
+                    comparable.append(v)
+            elif isinstance(v, str):
+                if "string" in possible:
+                    comparable.append(v)
+            # null constant: NULL target is skipped anyway
+        if not comparable:
+            return _maybe(t.col.isNotNull(),
+                          make_violation("enum", t.path))
+        ok = t.col.isin(comparable)
+        return _maybe(t.col.isNotNull() & ~ok, make_violation("enum", t.path))
+
+    def _const(self, value: Any, t: Target) -> Column:
+        if isinstance(value, (list, dict)):
+            raise UnsupportedRule("composite const")
+        if value is None:
+            # only JSON null matches; NULL target is "absent" → violation
+            # whenever a non-null value is present
+            return _maybe(t.col.isNotNull(), make_violation("const", t.path))
+        return self._enum_like_const(value, t)
+
+    def _enum_like_const(self, value, t: Target) -> Column:
+        possible = spark_json_types(t.dtype)
+        if possible is None:
+            raise UnsupportedRule("const on untyped target")
+        type_ok = (("boolean" in possible if isinstance(value, bool)
+                    else "number" in possible if is_number(value)
+                    else "string" in possible))
+        if not type_ok:
+            return _maybe(t.col.isNotNull(), make_violation("const", t.path))
+        bad = t.col.isNotNull() & ~(t.col == F.lit(value))
+        return _maybe(bad, make_violation("const", t.path))
+
+    def _bound(self, m: Any, op: str, t: Target) -> Column:
+        if not is_number(m):
+            raise UnsupportedRule("bound must be a number")
+        if not _is_numeric(t.dtype) and t.dtype is not None:
+            return empty_violations()  # nonstrict skip, statically
+        c = t.col.cast("double")
+        ok = {"min": c >= F.lit(float(m)), "emin": c > F.lit(float(m)),
+              "max": c <= F.lit(float(m)), "emax": c < F.lit(float(m))}[op]
+        code = "maximum" if op in ("max", "emax") else "minimum"
+        return _maybe(t.col.isNotNull() & ~ok, make_violation(code, t.path))
+
+    def _multiple_of(self, k: Any, t: Target) -> Column:
+        if not is_number(k) or float(k) <= 0:
+            raise UnsupportedRule("multipleOf must be > 0")
+        if not _is_numeric(t.dtype) and t.dtype is not None:
+            return empty_violations()
+        k = float(k)
+        c = t.col.cast("double")
+        if not _is_float(t.dtype) and k == math.floor(k):
+            ok = (t.col % F.lit(int(k))) == 0
+        elif k == math.floor(k):
+            # value may be fractional: integral branch applies only when
+            # value.fract()==0 (multiple_of.rs:22-24)
+            whole = c == F.floor(c)
+            rem = (c / F.lit(k)) % F.lit(1.0)
+            float_ok = ((F.isnan(rem) | (rem < F.lit(EPSILON)))
+                        & (rem < F.lit(1.0 - EPSILON)))
+            ok = F.when(whole, (c % F.lit(k)) == 0).otherwise(float_ok)
+        else:
+            rem = (c / F.lit(k)) % F.lit(1.0)
+            ok = ((F.isnan(rem) | (rem < F.lit(EPSILON)))
+                  & (rem < F.lit(1.0 - EPSILON)))
+        return _maybe(t.col.isNotNull() & ~ok,
+                      make_violation("multiple_of", t.path))
+
+    def _length(self, n: Any, is_max: bool, t: Target) -> Column:
+        if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
+            return empty_violations()
+        # F.length = UTF8String.numChars = Unicode code points — exact
+        # parity with chars().count() (maxmin_length.rs:21,46), including
+        # supplementary-plane characters.
+        ln = F.length(t.col)
+        ok = ln <= F.lit(int(n)) if is_max else ln >= F.lit(int(n))
+        return _maybe(t.col.isNotNull() & ~ok, make_violation(
+            "max_length" if is_max else "min_length", t.path))
+
+    def _pattern(self, p: Any, t: Target) -> Column:
+        if not isinstance(p, str):
+            raise UnsupportedRule("pattern must be a string")
+        if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
+            return empty_violations()
+        ok = t.col.rlike(p)  # unanchored find(), like the reference
+        return _maybe(t.col.isNotNull() & ~ok,
+                      make_violation("pattern", t.path))
+
+    # regex approximations for the JVM-side format fast path; semantics
+    # pinned against pyvalidator in tests (exotic formats → fallback).
+    _FORMAT_REGEX = {
+        "date": r"^\d{4}-\d{2}-\d{2}$",
+        "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?$",
+        "date-time": (r"^\d{4}-\d{2}-\d{2}[Tt ]\d{2}:\d{2}:\d{2}(\.\d+)?"
+                      r"([Zz]|[+-]\d{2}:\d{2})$"),
+        "ipv4": (r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+                 r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"),
+        "uuid": (r"^(urn:uuid:)?(\{)?([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-"
+                 r"[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+                 r"|[0-9a-fA-F]{32})(\})?$"),
+        "json-pointer": r"^(/([^/~]|~[01])*)*$",
+        "relative-json-pointer": r"^(/([^/~]|~[01])*)*$",
+        "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$",
+        "email": (r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]{1,64}@"
+                  r"([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
+                  r"[A-Za-z]{2,}$"),
+        "hostname": (r"^([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
+                     r"[A-Za-z]{2,}$"),
+    }
+    _FORMAT_DETAILS = {
+        "date": "Malformed date", "time": "Malformed time",
+        "date-time": "Malformed date time",
+        "ipv4": "Malformed IP address",
+        "uuid": "Malformed UUID: invalid format",
+        "json-pointer": "Malformed JSON pointer",
+        "relative-json-pointer": "Malformed relative JSON pointer",
+        "uri": "Malformed URI: invalid", "email": "Malformed email address",
+        "hostname": "Malformed hostname",
+    }
+
+    def _format(self, name: Any, t: Target) -> Column:
+        if not isinstance(name, str):
+            raise UnsupportedRule("format must be a string")
+        if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
+            return empty_violations()
+        if name in ("uri-template",):  # always valid (formats.rs:380-396)
+            return empty_violations()
+        regex = self._FORMAT_REGEX.get(name)
+        if regex is None:
+            if name in ("ipv6", "iri", "uri-reference", "iri-reference",
+                        "regex", "idn-email", "idn-hostname"):
+                raise UnsupportedRule(f"format {name!r} needs Arrow fallback")
+            return empty_violations()  # unknown → ignored (format.rs:172-175)
+        ok = t.col.rlike(regex)
+        # date: reject impossible month/day values the regex admits
+        if name == "date":
+            ok = ok & F.to_date(t.col, "yyyy-MM-dd").isNotNull()
+        if name == "time":
+            ok = ok & (F.substring(t.col, 1, 2).cast("int") <= 23) \
+                    & (F.substring(t.col, 4, 2).cast("int") <= 59) \
+                    & (F.substring(t.col, 7, 2).cast("int") <= 60)
+        return _maybe(t.col.isNotNull() & ~ok, make_violation(
+            "format", t.path, F.lit(self._FORMAT_DETAILS[name])))
+
+    def _required(self, keys: Any, t: Target) -> Column:
+        if not isinstance(keys, list):
+            raise UnsupportedRule("required must be an array")
+        if isinstance(t.dtype, T.StructType):
+            fields = {f.name for f in t.dtype.fields}
+            parts = []
+            for k in keys:
+                present = (t.col.getField(k).isNotNull() if k in fields
+                           else F.lit(False))
+                parts.append(_maybe(
+                    t.col.isNotNull() & ~present,
+                    make_violation("required",
+                                   F.concat(t.path, F.lit("/" + k)))))
+            return _concat(parts)
+        if isinstance(t.dtype, T.MapType):
+            parts = []
+            for k in keys:
+                present = F.map_contains_key(t.col, F.lit(k))
+                parts.append(_maybe(
+                    t.col.isNotNull() & ~present,
+                    make_violation("required",
+                                   F.concat(t.path, F.lit("/" + k)))))
+            return _concat(parts)
+        if t.dtype is None:
+            raise UnsupportedRule("required on untyped target")
+        return empty_violations()  # non-object target → skip
+
+    def _properties(self, s: dict, t: Target, depth: int) -> Column:
+        props = s.get("properties", {})
+        additional = s.get("additionalProperties")
+        patterns = s.get("patternProperties")
+        if isinstance(t.dtype, T.StructType):
+            if patterns:
+                raise UnsupportedRule(
+                    "patternProperties on struct targets (closed schema)")
+            fields = {f.name: f for f in t.dtype.fields}
+            parts = []
+            for key, sub in props.items():
+                f_ = fields.get(key)
+                if f_ is None:
+                    continue  # field can never be present in typed rows
+                child = t.child(t.col.getField(key), f_.dataType,
+                                F.concat(t.path, F.lit("/" + key)))
+                sub_viol = self._node(sub, child, depth + 1)
+                # guard on parent presence
+                parts.append(F.when(t.col.isNotNull(), sub_viol)
+                              .otherwise(empty_violations()))
+            if additional is False:
+                for key, f_ in fields.items():
+                    if key not in props:
+                        parts.append(_maybe(
+                            t.col.isNotNull()
+                            & t.col.getField(key).isNotNull(),
+                            make_violation(
+                                "properties", t.path,
+                                F.lit(f"Additional property '{key}'"
+                                      " is not allowed"))))
+            elif isinstance(additional, dict):
+                for key, f_ in fields.items():
+                    if key not in props:
+                        child = t.child(t.col.getField(key), f_.dataType,
+                                        F.concat(t.path, F.lit("/" + key)))
+                        parts.append(F.when(
+                            t.col.isNotNull(),
+                            self._node(additional, child, depth + 1)
+                        ).otherwise(empty_violations()))
+            return _concat(parts)
+        if isinstance(t.dtype, T.MapType):
+            return self._properties_map(s, t, depth)
+        if t.dtype is None:
+            raise UnsupportedRule("properties on untyped target")
+        return empty_violations()  # non-object → skip
+
+    def _properties_map(self, s: dict, t: Target, depth: int) -> Column:
+        """properties/patternProperties/additionalProperties over
+        MapType(string, V) — open-keyed objects."""
+        props = s.get("properties", {})
+        additional = s.get("additionalProperties")
+        patterns = s.get("patternProperties", {})
+        vtype = t.dtype.valueType
+        parts = []
+        for key, sub in props.items():
+            val = F.element_at(t.col, F.lit(key))
+            child = t.child(val, vtype, F.concat(t.path, F.lit("/" + key)))
+            parts.append(F.when(t.col.isNotNull(),
+                                self._node(sub, child, depth + 1))
+                          .otherwise(empty_violations()))
+        for pat, sub in patterns.items():
+            def emit(entry, pat=pat, sub=sub):
+                child = Target(entry["value"], vtype,
+                               F.concat(t.path, F.lit("/"), entry["key"]))
+                return F.when(entry["key"].rlike(pat),
+                              self._node(sub, child, depth + 1)
+                              ).otherwise(empty_violations())
+            parts.append(F.when(
+                t.col.isNotNull(),
+                F.flatten(F.transform(
+                    F.map_entries(t.col),
+                    lambda e: emit(e)))).otherwise(empty_violations()))
+        if additional is not None:
+            known = list(props.keys())
+            pats = list(patterns.keys())
+
+            def is_known(k: Column) -> Column:
+                cond = F.lit(False)
+                if known:
+                    cond = cond | k.isin(known)
+                for p in pats:
+                    cond = cond | k.rlike(p)
+                return cond
+
+            if additional is False:
+                extra_keys = F.filter(F.map_keys(t.col),
+                                      lambda k: ~is_known(k))
+                parts.append(F.when(
+                    t.col.isNotNull(),
+                    F.transform(extra_keys, lambda k: make_violation(
+                        "properties", t.path,
+                        F.concat(F.lit("Additional property '"), k,
+                                 F.lit("' is not allowed"))))
+                ).otherwise(empty_violations()))
+            elif isinstance(additional, dict):
+                def emit_add(entry):
+                    child = Target(entry["value"], vtype,
+                                   F.concat(t.path, F.lit("/"),
+                                            entry["key"]))
+                    return F.when(~is_known(entry["key"]),
+                                  self._node(additional, child, depth + 1)
+                                  ).otherwise(empty_violations())
+                parts.append(F.when(
+                    t.col.isNotNull(),
+                    F.flatten(F.transform(F.map_entries(t.col),
+                                          lambda e: emit_add(e)))
+                ).otherwise(empty_violations()))
+        return _concat(parts)
+
+    def _property_names(self, sub: Any, t: Target, depth: int) -> Column:
+        if isinstance(t.dtype, T.StructType):
+            # static keys: evaluate at compile time via pyvalidator
+            from valico_spark.compiler.pyvalidator import validate_json
+            parts = []
+            for f_ in t.dtype.fields:
+                st = validate_json(sub, f_.name, version=self.version)
+                for e in st.errors:
+                    parts.append(_maybe(
+                        t.col.isNotNull() & t.col.getField(f_.name).isNotNull(),
+                        make_violation(
+                            e.code,
+                            F.concat(t.path, F.lit(f"/[{f_.name}]")),
+                            F.lit(e.detail) if e.detail else None)))
+            return _concat(parts)
+        if isinstance(t.dtype, T.MapType):
+            def emit(k):
+                child = Target(k, T.StringType(),
+                               F.concat(t.path, F.lit("/["), k, F.lit("]")))
+                return self._node(sub, child, depth + 1)
+            return F.when(
+                t.col.isNotNull(),
+                F.flatten(F.transform(F.map_keys(t.col), emit))
+            ).otherwise(empty_violations())
+        if t.dtype is None:
+            raise UnsupportedRule("propertyNames on untyped target")
+        return empty_violations()
+
+    def _props_count(self, n: Any, is_max: bool, t: Target) -> Column:
+        if isinstance(t.dtype, T.StructType):
+            # count present (non-null) fields
+            present = [F.when(t.col.getField(f.name).isNotNull(), 1)
+                       .otherwise(0) for f in t.dtype.fields]
+            total = sum(present[1:], present[0]) if present else F.lit(0)
+        elif isinstance(t.dtype, T.MapType):
+            total = F.size(F.map_keys(t.col))
+        elif t.dtype is None:
+            raise UnsupportedRule("min/maxProperties on untyped target")
+        else:
+            return empty_violations()
+        ok = total <= F.lit(int(n)) if is_max else total >= F.lit(int(n))
+        return _maybe(t.col.isNotNull() & ~ok, make_violation(
+            "max_properties" if is_max else "min_properties", t.path))
+
+    def _dependencies(self, s: dict, t: Target, depth: int) -> Column:
+        items: list[tuple[str, tuple[str, Any]]] = []
+        if "dependencies" in s:
+            for k, v in s["dependencies"].items():
+                items.append((k, ("props", v) if isinstance(v, list)
+                              else ("schema", v)))
+        if "dependentRequired" in s:
+            for k, v in s["dependentRequired"].items():
+                items.append((k, ("props", v)))
+        if "dependentSchemas" in s:
+            for k, v in s["dependentSchemas"].items():
+                items.append((k, ("schema", v)))
+
+        def present(key: str) -> Column:
+            if isinstance(t.dtype, T.StructType):
+                names = {f.name for f in t.dtype.fields}
+                return (t.col.getField(key).isNotNull() if key in names
+                        else F.lit(False))
+            if isinstance(t.dtype, T.MapType):
+                return F.map_contains_key(t.col, F.lit(key))
+            raise UnsupportedRule("dependencies on non-object target")
+
+        if not isinstance(t.dtype, (T.StructType, T.MapType)):
+            if t.dtype is None:
+                raise UnsupportedRule("dependencies on untyped target")
+            return empty_violations()
+
+        parts = []
+        for key, (kind, extra) in items:
+            trigger = t.col.isNotNull() & present(key)
+            if kind == "props":
+                for k2 in extra:
+                    parts.append(_maybe(
+                        trigger & ~present(k2),
+                        make_violation("required",
+                                       F.concat(t.path, F.lit("/" + k2)))))
+            else:
+                sub_viol = self._node(extra, t, depth + 1)
+                parts.append(F.when(trigger, sub_viol)
+                              .otherwise(empty_violations()))
+        return _concat(parts)
+
+    def _items(self, s: dict, t: Target, depth: int) -> Column:
+        if not isinstance(t.dtype, T.ArrayType):
+            if t.dtype is None:
+                raise UnsupportedRule("items on untyped target")
+            return empty_violations()
+        etype = t.dtype.elementType
+        items = s.get("items")
+        additional = s.get("additionalItems")
+        parts = []
+        if isinstance(items, (dict, bool)):
+            def per_elem(x: Column, i: Column) -> Column:
+                child = Target(x, etype,
+                               F.concat(t.path, F.lit("/"),
+                                        i.cast("string")))
+                return self._node(items, child, depth + 1)
+            parts.append(F.when(
+                t.col.isNotNull(),
+                F.flatten(F.transform(t.col, per_elem))
+            ).otherwise(empty_violations()))
+        elif isinstance(items, list):
+            for idx, sub in enumerate(items):
+                elem = F.element_at(t.col, idx + 1)
+                child = Target(elem, etype,
+                               F.concat(t.path, F.lit(f"/{idx}")))
+                sub_viol = self._node(sub, child, depth + 1)
+                parts.append(F.when(
+                    t.col.isNotNull() & (F.size(t.col) > idx), sub_viol
+                ).otherwise(empty_violations()))
+            if additional is False:
+                parts.append(_maybe(
+                    t.col.isNotNull() & (F.size(t.col) > len(items)),
+                    make_violation("items", t.path,
+                                   F.lit("Additional items are not allowed"))))
+            elif isinstance(additional, dict):
+                def per_extra(x: Column, i: Column) -> Column:
+                    child = Target(
+                        x, etype,
+                        F.concat(t.path, F.lit("/"),
+                                 (i + len(items)).cast("string")))
+                    return self._node(additional, child, depth + 1)
+                tail = F.slice(t.col, len(items) + 1,
+                               F.greatest(F.size(t.col) - len(items),
+                                          F.lit(0)))
+                parts.append(F.when(
+                    t.col.isNotNull() & (F.size(t.col) > len(items)),
+                    F.flatten(F.transform(tail, per_extra))
+                ).otherwise(empty_violations()))
+        return _concat(parts)
+
+    def _items_count(self, n: Any, is_max: bool, t: Target) -> Column:
+        if not isinstance(t.dtype, T.ArrayType):
+            if t.dtype is None:
+                raise UnsupportedRule("min/maxItems on untyped target")
+            return empty_violations()
+        sz = F.size(t.col)
+        ok = sz <= F.lit(int(n)) if is_max else sz >= F.lit(int(n))
+        return _maybe(t.col.isNotNull() & ~ok, make_violation(
+            "max_items" if is_max else "min_items", t.path))
+
+    def _unique_items(self, t: Target) -> Column:
+        if not isinstance(t.dtype, T.ArrayType):
+            if t.dtype is None:
+                raise UnsupportedRule("uniqueItems on untyped target")
+            return empty_violations()
+        # O(n) array_distinct vs the reference's O(n²) loop
+        # (validators/unique_items.rs:18 'TODO quicker algorithm')
+        ok = F.size(F.array_distinct(t.col)) == F.size(t.col)
+        return _maybe(t.col.isNotNull() & ~ok,
+                      make_violation("unique_items", t.path))
+
+    def _contains(self, s: dict, t: Target, depth: int) -> Column:
+        if not isinstance(t.dtype, T.ArrayType):
+            if t.dtype is None:
+                raise UnsupportedRule("contains on untyped target")
+            return empty_violations()
+        sub = s["contains"]
+        min_c = s.get("minContains") if self.version >= DRAFT2019 else None
+        max_c = s.get("maxContains") if self.version >= DRAFT2019 else None
+        etype = t.dtype.elementType
+
+        def ok_elem(x: Column) -> Column:
+            child = Target(x, etype, F.lit(""))
+            return F.size(self._node(sub, child, depth + 1)) == 0
+
+        parts = []
+        if min_c is None and max_c is None:
+            # F.exists short-circuits (contains.rs:38-40 parity, but free)
+            parts.append(_maybe(t.col.isNotNull() & ~F.exists(t.col, ok_elem),
+                                make_violation("contains", t.path)))
+        else:
+            matched = F.size(F.filter(t.col, ok_elem))
+            if min_c != 0:
+                parts.append(_maybe(t.col.isNotNull() & (matched == 0),
+                                    make_violation("contains", t.path)))
+            if max_c is not None:
+                parts.append(_maybe(
+                    t.col.isNotNull() & (matched > F.lit(int(max_c))),
+                    make_violation("min_contains/max_contains", t.path)))
+            if min_c is not None:
+                parts.append(_maybe(
+                    t.col.isNotNull() & (matched < F.lit(int(min_c))),
+                    make_violation("min_contains/max_contains", t.path)))
+        return _concat(parts)
+
+    def _all_of(self, subs: list, t: Target, depth: int) -> Column:
+        return _concat([self._node(sub, t, depth + 1) for sub in subs])
+
+    def _any_of(self, subs: list, t: Target, depth: int) -> Column:
+        sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
+        any_ok = None
+        for sv in sub_viols:
+            ok = F.size(sv) == 0
+            any_ok = ok if any_ok is None else (any_ok | ok)
+        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
+                                     for sv in sub_viols]))
+        return _maybe(~any_ok, make_violation("any_of", t.path,
+                                              states=states))
+
+    def _one_of(self, subs: list, t: Target, depth: int) -> Column:
+        sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
+        count = None
+        for sv in sub_viols:
+            ok_int = F.when(F.size(sv) == 0, 1).otherwise(0)
+            count = ok_int if count is None else (count + ok_int)
+        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
+                                     for sv in sub_viols]))
+        return _maybe(count != 1, make_violation("one_of", t.path,
+                                                 states=states))
+
+    def _not(self, sub: Any, t: Target, depth: int) -> Column:
+        sub_viol = self._node(sub, t, depth + 1)
+        return _maybe(F.size(sub_viol) == 0, make_violation("not", t.path))
+
+    def _conditional(self, s: dict, t: Target, depth: int) -> Column:
+        if_ok = F.size(self._node(s["if"], t, depth + 1)) == 0
+        then_v = (self._node(s["then"], t, depth + 1)
+                  if "then" in s else empty_violations())
+        else_v = (self._node(s["else"], t, depth + 1)
+                  if "else" in s else empty_violations())
+        return F.when(if_ok, then_v).otherwise(else_v)
+
+    def _content_media(self, s: dict, t: Target) -> Column:
+        if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
+            return empty_violations()
+        enc = s.get("contentEncoding")
+        mt = s.get("contentMediaType")
+        parts = []
+        val = t.col
+        if enc == "base64":
+            # strict alphabet check then decode (content_media.rs:52-63)
+            b64_ok = t.col.rlike(
+                r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
+                r"|[A-Za-z0-9+/]{3}=)?$")
+            parts.append(_maybe(t.col.isNotNull() & ~b64_ok,
+                                make_violation("format", t.path,
+                                               F.lit("Invalid byte"))))
+            val = F.decode(F.unbase64(t.col), "UTF-8")
+        if mt == "application/json":
+            parsed = F.try_parse_json(val)
+            bad = t.col.isNotNull() & parsed.isNull()
+            if enc == "base64":
+                b64_ok2 = t.col.rlike(
+                    r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
+                    r"|[A-Za-z0-9+/]{3}=)?$")
+                bad = bad & b64_ok2
+            parts.append(_maybe(bad, make_violation("format", t.path,
+                                                    F.lit(""))))
+        return _concat(parts)
+
+
+def compile_ruleset(schema: Any, spark_schema: T.StructType,
+                    version: int = DRAFT7) -> Column:
+    """Compile ``schema`` against a table's row type.
+
+    The document is the whole row (as valico validates a whole JSON
+    object). Returns the violations-array Column; ``F.size(...) == 0`` is
+    the verdict. GetStructField(CreateStruct(...)) collapses in Catalyst's
+    SimplifyExtractValueOps, so column pruning/pushdown still reach the
+    scan.
+    """
+    root_col = F.struct(*[F.col(f.name).alias(f.name)
+                          for f in spark_schema.fields])
+    target = Target(col=root_col, dtype=spark_schema, path=F.lit(""))
+    return ColumnCompiler(version=version, root_schema=schema
+                          ).compile(schema, target)
