@@ -1,0 +1,125 @@
+"""Tests for table-scale operators: stats, uniqueness, referential
+integrity, drift, span invariants."""
+
+from pyspark.sql import functions as F
+
+from valico_spark.operators import drift, relational, spans, stats
+
+
+class TestStats:
+    def test_profile_matches_exact_counts(self, docs_df, spark):
+        prof = {r["column"]: r for r in
+                stats.profile(docs_df.select("doc_id"), exact=True).collect()}
+        n = docs_df.count()
+        d = docs_df.select("doc_id").distinct().count()
+        row = prof["doc_id"]
+        assert row["n_rows"] == n
+        assert row["null_count"] == 0 and row["null_rate"] == 0.0
+        assert row["distinct_count"] == d
+
+    def test_profile_numeric(self, media_df):
+        prof = {r["column"]: r for r in
+                stats.profile(media_df, exact=True).collect()}
+        row = prof["size_bytes"]
+        assert row["mean"] is not None
+        assert len(row["quantiles"]) == 4
+        # seeded minimum violations put -1 into the data
+        assert float(row["min_s"]) < 0
+
+    def test_hll_close_to_exact(self, docs_df):
+        approx = {r["column"]: r["distinct_count"] for r in
+                  stats.profile(docs_df.select("doc_id")).collect()}
+        exact = docs_df.select("doc_id").distinct().count()
+        assert abs(approx["doc_id"] - exact) / exact < 0.1
+
+
+class TestUniqueness:
+    def test_duplicate_keys_found(self, docs_df):
+        dups = relational.duplicate_keys(docs_df, ["doc_id"]).collect()
+        # generator seeds ~0.1% duplicate doc ids
+        assert len(dups) > 0
+        assert all(r["dup_count"] >= 2 for r in dups)
+
+    def test_uniqueness_violations_rows(self, docs_df):
+        rows = relational.uniqueness_violations(docs_df, ["doc_id"],
+                                                ["doc_id"])
+        n_rows = rows.count()
+        n_keys = relational.duplicate_keys(docs_df, ["doc_id"]).count()
+        assert n_rows >= 2 * n_keys
+
+
+class TestReferential:
+    def test_dangling_media_refs(self, spark, docs_df, media_df):
+        exploded = (docs_df
+                    .select(F.col("doc_id"),
+                            F.explode("spans").alias("s"))
+                    .where(F.col("s.media_ref").isNotNull())
+                    .select("doc_id",
+                            F.col("s.media_ref").alias("media_ref")))
+        o = relational.orphans(exploded, "media_ref", media_df, "media_ref")
+        n_orphans = o.count()
+        n_refs = exploded.count()
+        # ~1% seeded dangling
+        assert 0 < n_orphans < 0.05 * n_refs
+
+    def test_null_keys_are_not_orphans(self, spark):
+        child = spark.createDataFrame([(1, "a"), (2, None)], ["id", "fk"])
+        parent = spark.createDataFrame([("a",)], ["pk"])
+        o = relational.orphans(child, "fk", parent, "pk").collect()
+        assert o == []
+
+
+class TestDrift:
+    def test_chi_square_same_distribution(self, spark, media_df):
+        half_a = media_df.where(F.crc32(F.col("media_ref")) % 2 == 0)
+        half_b = media_df.where(F.crc32(F.col("media_ref")) % 2 == 1)
+        row = drift.chi_square(half_a, half_b, "media_type").collect()[0]
+        assert row["statistic"] < 50
+
+    def test_chi_square_detects_shift(self, spark, media_df):
+        shifted = media_df.withColumn(
+            "media_type", F.lit("image"))
+        row = drift.chi_square(shifted, media_df, "media_type").collect()[0]
+        assert row["statistic"] > 100
+
+    def test_ks_same_vs_shifted(self, spark, media_df):
+        a = media_df.select("size_bytes")
+        b = media_df.select((F.col("size_bytes") + 5_000_000)
+                            .alias("size_bytes"))
+        same = drift.ks_binned(a, a, "size_bytes")
+        diff = drift.ks_binned(a, b, "size_bytes")
+        assert same < 0.01
+        assert diff > 0.2
+
+
+class TestSpans:
+    def test_ordering_flag(self, docs_df):
+        checked = spans.add_span_checks(docs_df)
+        frac_bad = (checked.where(~F.col("spans_ordered")).count()
+                    / checked.count())
+        # generator seeds ordering defects in a subset of defective docs
+        assert 0 < frac_bad < 0.1
+
+    def test_sequence_equality_self(self, docs_df):
+        # exclude seeded duplicate doc_ids: the self-join cross-pairs them
+        # and correctly reports their differing span sequences
+        dups = relational.duplicate_keys(docs_df, ["doc_id"])
+        uniq = docs_df.join(dups.select("doc_id"), "doc_id", "left_anti")
+        eq = spans.sequence_equality(uniq, uniq)
+        assert eq.where(~F.col("equal")).count() == 0
+
+    def test_sequence_equality_detects_mutation(self, docs_df, spark):
+        mutated = docs_df.withColumn(
+            "spans", F.reverse(F.col("spans")))
+        eq = spans.sequence_equality(docs_df, mutated)
+        multi = docs_df.where(F.size("spans") >= 2).count()
+        assert eq.where(~F.col("equal")).count() >= multi * 0.9
+
+    def test_signature_stable(self, docs_df):
+        dups = relational.duplicate_keys(docs_df, ["doc_id"])
+        docs_df = docs_df.join(dups.select("doc_id"), "doc_id", "left_anti")
+        checked = spans.add_span_checks(docs_df).select("doc_id", "span_sig")
+        again = spans.add_span_checks(docs_df).select(
+            "doc_id", F.col("span_sig").alias("sig2"))
+        joined = checked.join(again, "doc_id")
+        assert joined.where(F.col("span_sig") != F.col("sig2")).count() == 0

@@ -1,0 +1,101 @@
+"""Distribution-drift checks: two-sample KS and chi-square (north_rule).
+
+Scale design:
+* **chi-square** (categorical): two ``groupBy(value).count()`` aggregations
+  (map-side combined, shuffle size = cardinality) joined on the category —
+  exact at any scale.
+* **KS** (continuous): the exact statistic needs a global sort, which is a
+  single-stage bottleneck at 10^12 rows. We compute a *binned* ECDF —
+  fixed grid of B bins between the pooled min/max (one lightweight agg to
+  get the range, one groupBy on the bin id) — giving sup-norm error ≤ 1/B
+  of the true KS plus binning error; B=1024 is far below any actionable
+  drift threshold. Shuffle size = B rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def chi_square(observed: DataFrame, expected: DataFrame,
+               value_col: str) -> DataFrame:
+    """Pearson chi-square of ``observed[value_col]`` against the category
+    distribution of ``expected[value_col]``.
+
+    Returns one row: (statistic, df, n_obs). Categories absent from
+    ``expected`` contribute with a pseudo-expected of 0.5 (Haldane
+    correction) to keep the statistic finite.
+    """
+    obs = observed.groupBy(F.col(value_col).alias("cat")) \
+                  .agg(F.count(F.lit(1)).alias("o"))
+    exp = expected.groupBy(F.col(value_col).alias("cat")) \
+                  .agg(F.count(F.lit(1)).alias("e_raw"))
+    totals_o = obs.agg(F.sum("o")).collect()[0][0] or 0
+    totals_e = exp.agg(F.sum("e_raw")).collect()[0][0] or 1
+    scale = totals_o / totals_e
+    joined = obs.join(exp, "cat", "full_outer").fillna(0, ["o", "e_raw"])
+    joined = joined.withColumn(
+        "e", F.when(F.col("e_raw") > 0,
+                    F.col("e_raw") * F.lit(scale)).otherwise(F.lit(0.5)))
+    return joined.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+         .alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+        F.sum("o").cast("long").alias("n_obs"))
+
+
+def ks_binned(sample_a: DataFrame, sample_b: DataFrame, value_col: str,
+              bins: int = 1024) -> float:
+    """Binned two-sample Kolmogorov–Smirnov statistic (see module doc)."""
+    a = sample_a.select(F.col(value_col).cast("double").alias("v")) \
+                .where(F.col("v").isNotNull())
+    b = sample_b.select(F.col(value_col).cast("double").alias("v")) \
+                .where(F.col("v").isNotNull())
+    pooled = a.unionByName(b)
+    lo, hi = pooled.agg(F.min("v"), F.max("v")).collect()[0]
+    if lo is None or hi is None or not math.isfinite(hi - lo):
+        return 0.0
+    width = (hi - lo) or 1.0
+
+    def ecdf_counts(df, tag):
+        bin_id = F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * bins)
+        ).cast("int")
+        return df.groupBy(bin_id.alias("bin")) \
+                 .agg(F.count(F.lit(1)).alias(tag))
+
+    ca = ecdf_counts(a, "na")
+    cb = ecdf_counts(b, "nb")
+    merged = ca.join(cb, "bin", "full_outer").fillna(0)
+    # B rows — cumulative sums over the tiny binned table
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    totals = merged.agg(F.sum("na"), F.sum("nb")).collect()[0]
+    ta, tb = (totals[0] or 1), (totals[1] or 1)
+    result = merged.select(
+        F.abs(F.sum("na").over(w) / F.lit(float(ta))
+              - F.sum("nb").over(w) / F.lit(float(tb))).alias("d"))
+    return result.agg(F.max("d")).collect()[0][0] or 0.0
+
+
+def drift_report(current: DataFrame, reference: DataFrame,
+                 categorical: list[str], continuous: list[str],
+                 ks_threshold: float = 0.1,
+                 chi2_threshold: float = 1000.0) -> list[dict]:
+    """Run chi-square on categorical columns and binned-KS on continuous
+    ones; returns [{column, kind, statistic, drifted}] (driver-side small)."""
+    out = []
+    for c in categorical:
+        row = chi_square(current, reference, c).collect()[0]
+        out.append({"column": c, "kind": "chi_square",
+                    "statistic": float(row["statistic"] or 0.0),
+                    "drifted": (row["statistic"] or 0.0) > chi2_threshold})
+    for c in continuous:
+        d = ks_binned(current, reference, c)
+        out.append({"column": c, "kind": "ks",
+                    "statistic": d, "drifted": d > ks_threshold})
+    return out

@@ -1,0 +1,73 @@
+"""Uniqueness + referential-integrity checks at table scale (north_rule).
+
+The reference's closest analogues are intra-document: ``uniqueItems``
+(validators/unique_items.rs) and ``dependencies`` (validators/
+dependencies.rs). These operators are their cross-document lifts:
+
+* **uniqueness** — duplicate key detection is a hash aggregation on the
+  key; partial aggregation means each mapper emits at most one row per
+  distinct key, so the shuffle carries ~|distinct| not |rows|. For hot
+  keys (skewed prefixes) AQE handles the residual skew; no salting is
+  needed because count aggregation is associative.
+* **referential** — orphan detection is LEFT ANTI join child→parent. The
+  parent side is broadcast when under the threshold (dimension tables);
+  otherwise it is a shuffle join on the key where AQE's skew-join splits
+  oversized partitions. At 100 TB, bucketing both tables by the key makes
+  this a zero-shuffle sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once: (key..., dup_count)."""
+    return (df.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("dup_count"))
+              .where(F.col("dup_count") > 1))
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str],
+                          id_cols: list[str] | None = None) -> DataFrame:
+    """All rows participating in a duplicated key (for the audit sink).
+
+    Implemented as a window-free self-semi-join against the duplicate key
+    set (broadcast when small) — avoids a global sort.
+    """
+    dups = duplicate_keys(df, keys)
+    return df.join(F.broadcast(dups.select(*keys)), on=keys, how="semi") \
+        .select(*(id_cols or df.columns))
+
+
+def orphans(child: DataFrame, child_key, parent: DataFrame, parent_key,
+            broadcast_parent: bool | None = None) -> DataFrame:
+    """Child rows whose key has no match in the parent (dangling refs).
+
+    NULL child keys are not orphans (absent ≡ no reference), matching the
+    reference's dependencies semantics (only present keys trigger).
+    """
+    child_key = [child_key] if isinstance(child_key, str) else list(child_key)
+    parent_key = ([parent_key] if isinstance(parent_key, str)
+                  else list(parent_key))
+    p = parent.select(*[F.col(pk).alias(ck)
+                        for pk, ck in zip(parent_key, child_key)]).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    cond = None
+    present = None
+    for ck in child_key:
+        pr = child[ck].isNotNull()
+        present = pr if present is None else (present & pr)
+    return (child.where(present)
+                 .join(p, on=child_key, how="left_anti"))
+
+
+def referential_report(child: DataFrame, child_key, parent: DataFrame,
+                       parent_key, id_cols: list[str]) -> DataFrame:
+    """Orphan rows reduced to audit form: id columns + the dangling key."""
+    ck = [child_key] if isinstance(child_key, str) else list(child_key)
+    o = orphans(child, child_key, parent, parent_key)
+    return o.select(*id_cols, *[F.col(c).alias(f"dangling_{c}")
+                                for c in ck])

@@ -1,0 +1,69 @@
+"""Span-sequence operators over the interleaved-docs table.
+
+The per-row invariant from BASELINE.json input_hint: span-sequence
+equality on (kind, text, media_ref, order) per document, evaluated
+Arrow-native / JVM-native — **no per-row Python**. Spark compares
+array<struct> values structurally, so sequence equality is a single
+column expression; ordering checks use higher-order functions over the
+offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spans_strictly_increasing(spans: Column) -> Column:
+    """True iff ``offset`` is strictly increasing across the span array.
+
+    zip_with(spans, tail(spans)) keeps everything inside codegen; NULL
+    offsets fail the check (they violate ordering by absence).
+    """
+    tail = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    pairs_ok = F.zip_with(
+        F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))), tail,
+        lambda a, b: (a["offset"].isNotNull() & b["offset"].isNotNull()
+                      & (b["offset"] > a["offset"])))
+    return F.coalesce(F.forall(pairs_ok, lambda x: x), F.lit(True)) \
+        & ~F.exists(spans, lambda s: s["offset"].isNull())
+
+
+def span_signature(spans: Column) -> Column:
+    """Order-sensitive signature of (kind, text, media_ref) — the
+    sequence-equality key. Uses xxhash64 over a canonical projection so
+    two tables can be compared with an equi-join instead of shipping the
+    full arrays."""
+    canon = F.transform(spans, lambda s: F.struct(
+        s["kind"].alias("kind"), s["text"].alias("text"),
+        s["media_ref"].alias("media_ref")))
+    return F.xxhash64(F.to_json(canon))
+
+
+def add_span_checks(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    return (df
+            .withColumn("spans_ordered",
+                        spans_strictly_increasing(F.col(spans_col)))
+            .withColumn("span_sig", span_signature(F.col(spans_col))))
+
+
+def sequence_equality(left: DataFrame, right: DataFrame,
+                      key: str = "doc_id",
+                      spans_col: str = "spans") -> DataFrame:
+    """Per-document span-sequence equality between two tables.
+
+    Join on the doc key (sort-merge over bucketed layout at scale) and
+    compare canonical projections natively — array<struct> equality is a
+    JVM-side structural comparison. Returns (key, equal) rows for docs in
+    both tables.
+    """
+    def canon(c):
+        return F.transform(F.col(spans_col), lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref")))
+
+    l = left.select(F.col(key), canon(spans_col).alias("__l"))
+    r = right.select(F.col(key), canon(spans_col).alias("__r"))
+    return (l.join(r, key)
+             .select(key, (F.col("__l").eqNullSafe(F.col("__r")))
+                     .alias("equal")))

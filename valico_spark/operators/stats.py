@@ -1,0 +1,83 @@
+"""Single-pass combined column statistics (engine-level check, north_rule).
+
+One ``df.agg(...)`` computes, for every audited column, in ONE scan and
+ONE (partial-aggregated) reduction — no per-column jobs, no shuffle of raw
+rows, map-side combine does the heavy lifting:
+
+* row count and null rate,
+* distinct-count sketch (HyperLogLog++, ``approx_count_distinct``),
+* quantile sketch (GK via ``percentile_approx``) for numerics,
+* min / max / mean.
+
+The reference walks one document at a time with no table-level notion
+(SURVEY.md §2.7); this operator is the lift of its per-value checks to
+table scale. ``exact=True`` switches HLL/GK to exact ``count_distinct``
+/ sort-based percentiles — only for small-scale oracle verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+            T.DoubleType, T.DecimalType)
+
+DEFAULT_QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def profile(df: DataFrame, columns: list[str] | None = None,
+            quantiles: list[float] = DEFAULT_QUANTILES,
+            exact: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Return one row per column: (column, n_rows, null_count, null_rate,
+    distinct_count, min_s, max_s, mean, quantiles array)."""
+    cols = columns or [f.name for f in df.schema.fields
+                       if not isinstance(f.dataType,
+                                         (T.ArrayType, T.MapType,
+                                          T.StructType))]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                     .alias(f"{c}__nulls"))
+        if exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__dist"))
+        aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
+        if isinstance(dtypes[c], _NUMERIC):
+            aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
+            aggs.append(F.percentile_approx(
+                F.col(c).cast("double"), quantiles,
+                1_000_000 if exact else 10_000).alias(f"{c}__q"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
+
+    # single wide aggregation row → unpivot driver-side (tiny)
+    row = df.agg(*aggs).collect()[0].asDict()
+    n = row["__n"]
+    out = []
+    for c in cols:
+        out.append(Row(
+            column=c, n_rows=n, null_count=row[f"{c}__nulls"],
+            null_rate=(row[f"{c}__nulls"] / n) if n else 0.0,
+            distinct_count=row[f"{c}__dist"],
+            min_s=row[f"{c}__min"], max_s=row[f"{c}__max"],
+            mean=row[f"{c}__mean"],
+            quantiles=row[f"{c}__q"]))
+    schema = T.StructType([
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("null_count", T.LongType()),
+        T.StructField("null_rate", T.DoubleType()),
+        T.StructField("distinct_count", T.LongType()),
+        T.StructField("min_s", T.StringType()),
+        T.StructField("max_s", T.StringType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("quantiles", T.ArrayType(T.DoubleType())),
+    ])
+    return df.sparkSession.createDataFrame(out, schema)
