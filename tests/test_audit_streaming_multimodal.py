@@ -1,0 +1,134 @@
+"""Tests: checkpoint-resume audit runs, streaming validation, multimodal
+plumbing."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from valico_spark.operators.validate import validate_dataframe
+from valico_spark.plans.audit import AuditRun
+from valico_spark.rulesets import DOCS_RULESET
+
+
+class TestAuditRun:
+    def test_full_run_and_metrics(self, spark, docs_df, tmp_path):
+        run = AuditRun(spark, str(tmp_path), "run1", n_buckets=4)
+        process = lambda df: validate_dataframe(df, DOCS_RULESET,
+                                                mode="columns")
+        metrics = run.run(docs_df, "doc_id", process)
+        assert len(metrics) == 4
+        assert sum(m["docs"] for m in metrics) == docs_df.count()
+        assert run.pending_buckets() == []
+        # violation rows landed in the audit sink
+        v = run.violations()
+        assert v.count() > 0
+        assert set(v.columns) >= {"doc_id", "code", "path"}
+
+    def test_resume_skips_completed(self, spark, docs_df, tmp_path):
+        run = AuditRun(spark, str(tmp_path), "run2", n_buckets=4)
+        process = lambda df: validate_dataframe(df, DOCS_RULESET,
+                                                mode="columns")
+        # simulate a crash after two buckets: process only pending[:2]
+        for b in run.pending_buckets()[:2]:
+            bucket_expr = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
+            subset = docs_df.where(bucket_expr == b)
+            validated = process(subset)
+            run._commit(b, {"bucket": b, "docs": validated.count(),
+                            "valid_docs": 0, "violations": 0,
+                            "wall_sec": 0, "run_id": "run2",
+                            "committed_at": 0})
+        assert len(run.pending_buckets()) == 2
+        resumed = AuditRun(spark, str(tmp_path), "run2", n_buckets=4)
+        metrics = resumed.run(docs_df, "doc_id", process)
+        assert len(metrics) == 2  # only the pending buckets ran
+        assert resumed.pending_buckets() == []
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, docs_df, tmp_path):
+        from valico_spark.streaming.validate_stream import (
+            stream_docs_validation,
+        )
+
+        docs_dir = str(tmp_path / "docs_stream")
+        docs_df.limit(500).repartition(4).write.parquet(docs_dir)
+
+        q = stream_docs_validation(
+            spark, docs_dir, DOCS_RULESET,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            out_table="stream_counts")
+        try:
+            q.processAllAvailable()
+            got = {r["valid"]: r["n"] for r in
+                   spark.sql("select * from stream_counts").collect()}
+        finally:
+            q.stop()
+
+        batch_df = spark.read.parquet(docs_dir)
+        batch = {r["valid"]: r["n"] for r in
+                 validate_dataframe(batch_df, DOCS_RULESET, mode="columns")
+                 .groupBy("valid").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        assert got == batch
+
+    def test_windowed_counts_plan(self, spark):
+        from valico_spark.streaming.validate_stream import (
+            windowed_violation_counts, with_validation,
+        )
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:10", "x"), ("2024-01-01 00:00:30", None)],
+            ["ts_s", "name"]).withColumn(
+                "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        ruleset = {"type": "object", "required": ["name"]}
+        validated = with_validation(df, ruleset)
+        out = windowed_violation_counts(validated, "ts").collect()
+        by_code = {r["code"]: r["n"] for r in out}
+        assert by_code.get("required") == 1
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media_payloads(self, spark):
+        import pyarrow.parquet as pq
+
+        from valico_spark.operators.multimodal import generate_media_payloads
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "payloads.parquet")
+            pq.write_table(generate_media_payloads(200), path)
+            yield spark.read.parquet(path).cache()
+
+    def test_payload_stats_jvm_side(self, media_payloads):
+        from valico_spark.operators.multimodal import payload_stats
+
+        out = payload_stats(media_payloads)
+        rows = out.select("payload_bytes", "sniffed_type").collect()
+        assert all(r["payload_bytes"] >= 68 for r in rows)
+        assert all(r["sniffed_type"] == "application/x-fake" for r in rows)
+
+    def test_byte_histogram_features(self, media_payloads):
+        from valico_spark.operators.multimodal import byte_histogram_features
+
+        feats = byte_histogram_features(media_payloads).collect()
+        assert len(feats) == 200
+        for r in feats[:10]:
+            assert r["n_bytes"] > 0
+            assert len(r["histogram"]) == 16
+            assert 0.0 < r["entropy"] <= 4.0 + 1e-9
+
+    def test_decode_stub_shapes(self, media_payloads):
+        from valico_spark.operators.multimodal import decode_image
+
+        out = decode_image(media_payloads.limit(20)).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r["width"] == 64 and r["height"] == 64
+            assert len(r["pixels"]) == 64 * 64
+            assert r["decoder"] == "fake-v1"
+        # determinism
+        again = decode_image(media_payloads.limit(20)).collect()
+        assert [r["pixels"][:5] for r in out] == \
+               [r["pixels"][:5] for r in again]

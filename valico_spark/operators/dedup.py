@@ -63,6 +63,10 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                   *([F.col("__blk")] if block_col else []))
     joined = (a.join(b, "__blk") if block_col else a.crossJoin(b)) \
         .where(F.col("a_id") < F.col("b_id"))
+    # the per-pair set algebra is the expensive part — spread the pair
+    # table across the cluster instead of inheriting the (possibly
+    # broadcast-single-partition) join output layout
+    joined = joined.repartition(F.col("a_id"), F.col("b_id"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     jac = inter / F.greatest(union, F.lit(1))
@@ -147,7 +151,8 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                    char_shingles(F.col(text_col), n).alias("sh"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    joined = cand.join(a, "a_id").join(b, "b_id")
+    joined = cand.join(a, "a_id").join(b, "b_id") \
+        .repartition(F.col("a_id"), F.col("b_id"))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     return (joined.withColumn("jaccard",

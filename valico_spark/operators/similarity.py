@@ -52,6 +52,7 @@ def all_pairs_above(df: DataFrame, threshold: float,
                   *( [F.col(block_col).alias("__blk")] if block_col else []))
     joined = (a.join(b, on="__blk") if block_col
               else a.crossJoin(b)).where(F.col("a_id") < F.col("b_id"))
+    joined = joined.repartition(F.col("a_id"), F.col("b_id"))
     sim = cosine(F.col("a_vec"), F.col("b_vec"))
     return (joined.withColumn("sim", sim)
                   .where(F.col("sim") >= threshold)
@@ -70,7 +71,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                                    F.col(vec_col).alias("q_vec")))
     c = corpus.select(F.col(id_col).alias("n_id"),
                       F.col(vec_col).alias("n_vec"))
-    scored = (q.crossJoin(c)
+    scored = (q.crossJoin(c.repartition(F.col("n_id")))
                .where(F.col("q_id") != F.col("n_id"))
                .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))

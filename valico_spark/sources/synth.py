@@ -157,7 +157,9 @@ def write_fixture(out_dir: str, n_docs: int = 20_000,
     """Materialize docs + media_assets parquet under ``out_dir``."""
     import os
     os.makedirs(out_dir, exist_ok=True)
+    # small row groups so local runs get scan-side parallelism, like the
+    # many-split layout a real table has at scale
     pq.write_table(generate_docs(n_docs, seed=seed, n_media=n_media),
-                   f"{out_dir}/docs.parquet")
+                   f"{out_dir}/docs.parquet", row_group_size=10_000)
     pq.write_table(generate_media_assets(n_media, seed=seed + 1),
-                   f"{out_dir}/media_assets.parquet")
+                   f"{out_dir}/media_assets.parquet", row_group_size=10_000)
