@@ -489,9 +489,14 @@ class ColumnCompiler:
                 child = t.child(t.col.getField(key), f_.dataType,
                                 F.concat(t.path, F.lit("/" + key)))
                 sub_viol = self._node(sub, child, depth + 1)
-                # guard on parent presence
-                parts.append(F.when(t.col.isNotNull(), sub_viol)
-                              .otherwise(empty_violations()))
+                # valico validates a property only when the key exists
+                # (validators/properties.rs:47-67): NULL ≡ absent, so the
+                # whole subschema — including combinators like `not` that
+                # would otherwise fire on a vacuously-skipped value — is
+                # gated on child presence
+                parts.append(F.when(
+                    t.col.isNotNull() & child.col.isNotNull(), sub_viol
+                ).otherwise(empty_violations()))
             if additional is False:
                 for key, f_ in fields.items():
                     if key not in props:
@@ -508,7 +513,7 @@ class ColumnCompiler:
                         child = t.child(t.col.getField(key), f_.dataType,
                                         F.concat(t.path, F.lit("/" + key)))
                         parts.append(F.when(
-                            t.col.isNotNull(),
+                            t.col.isNotNull() & child.col.isNotNull(),
                             self._node(additional, child, depth + 1)
                         ).otherwise(empty_violations()))
             return _concat(parts)
@@ -529,7 +534,7 @@ class ColumnCompiler:
         for key, sub in props.items():
             val = F.element_at(t.col, F.lit(key))
             child = t.child(val, vtype, F.concat(t.path, F.lit("/" + key)))
-            parts.append(F.when(t.col.isNotNull(),
+            parts.append(F.when(t.col.isNotNull() & val.isNotNull(),
                                 self._node(sub, child, depth + 1))
                           .otherwise(empty_violations()))
         for pat, sub in patterns.items():
