@@ -179,8 +179,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3,
-                                     block_col="lang")
+    # block on (lang, length bucket): standard dedup blocking — near-dups
+    # have similar length, and it bounds the quadratic pair join at scale
+    docs = docs.withColumn(
+        "blk", F.concat(F.col("lang"), F.lit("|"),
+                        F.floor(F.col("n_chars") / 200).cast("string")))
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3,
+                                     block_col="blk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -488,7 +493,9 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic is not portable to DuckDB → rows-only check
         "dedup_ngram_jaccard": """
             WITH sh AS (
-              SELECT doc_id, lang,
+              SELECT doc_id,
+                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
+                         BIGINT) AS VARCHAR) AS blk,
                      list_distinct([substr(text, i, 3)
                        FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
                        AS grams
@@ -500,11 +507,11 @@ def oracle_sql() -> dict[str, str]:
                               - len(list_intersect(a.grams, b.grams)), 1)
                      AS jaccard
             FROM sh a JOIN sh b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
+              ON a.blk = b.blk AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))
                   / greatest(len(a.grams) + len(b.grams)
                              - len(list_intersect(a.grams, b.grams)), 1)
-                  >= 0.5
+                  >= 0.8
         """,
     }
 

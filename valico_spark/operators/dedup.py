@@ -67,6 +67,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     # table across the cluster instead of inheriting the (possibly
     # broadcast-single-partition) join output layout
     joined = joined.repartition(F.col("a_id"), F.col("b_id"))
+    # sound prune before the expensive intersect: J(A,B) <= min/max sizes,
+    # so pairs failing the size-ratio bound can never reach the threshold
+    sa, sb = F.size(F.col("a_sh")), F.size(F.col("b_sh"))
+    joined = joined.where(
+        F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     jac = inter / F.greatest(union, F.lit(1))
@@ -153,6 +158,9 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     joined = cand.join(a, "a_id").join(b, "b_id") \
         .repartition(F.col("a_id"), F.col("b_id"))
+    sa, sb = F.size(F.col("a_sh")), F.size(F.col("b_sh"))
+    joined = joined.where(
+        F.least(sa, sb) >= F.lit(jaccard_threshold) * F.greatest(sa, sb))
     inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
     union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
     return (joined.withColumn("jaccard",
