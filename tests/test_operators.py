@@ -123,3 +123,34 @@ class TestSpans:
             "doc_id", F.col("span_sig").alias("sig2"))
         joined = checked.join(again, "doc_id")
         assert joined.where(F.col("span_sig") != F.col("sig2")).count() == 0
+
+
+class TestSkew:
+    def test_salted_count_matches_plain(self, docs_df):
+        from valico_spark.operators import skew
+
+        plain = {tuple(r)[:-1]: r["count"] for r in
+                 docs_df.groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("count")).collect()}
+        salted = {tuple(r)[:-1]: r["count"] for r in
+                  skew.salted_count(docs_df, ["doc_id"]).collect()}
+        assert plain == salted
+
+    def test_length_capped_split_preserves_spans(self, docs_df):
+        from valico_spark.operators import skew
+
+        split = skew.length_capped_split(docs_df, "spans", max_len=8)
+        # every chunk bounded
+        assert split.where(F.size("spans") > 8).count() == 0
+        # total spans preserved
+        orig = docs_df.agg(F.sum(F.size("spans"))).collect()[0][0]
+        after = split.agg(F.sum(F.size("spans"))).collect()[0][0]
+        assert orig == after
+
+    def test_salted_repartition_roundtrip(self, docs_df):
+        from valico_spark.operators import skew
+
+        out = skew.salted_repartition(docs_df, "doc_id", n_salts=4,
+                                      num_partitions=8)
+        assert out.count() == docs_df.count()
+        assert out.columns == docs_df.columns
