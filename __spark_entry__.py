@@ -92,7 +92,9 @@ def q_referential_orphans(spark, sf_dir):
 def q_stats_profile_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
-    prof = stats.profile(li.select(*cols), exact=True)
+    # quantile sketches skipped: this query's outputs don't use them and
+    # the GK sketch at exact accuracy dominated the agg cost
+    prof = stats.profile(li.select(*cols), exact=True, quantiles=None)
     return prof.select("column", "n_rows", "null_count", "distinct_count",
                        F.round("mean", 3).alias("mean_r"))
 
@@ -147,7 +149,9 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_embedding_near_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.all_pairs_above(emb, 0.30)
+    # label-blocked: bounds the quadratic pair join (the unblocked form
+    # is only for sampled tiers; at scale use SRP/LSH buckets as blocks)
+    pairs = similarity.all_pairs_above(emb, 0.30, block_col="label")
     return pairs.select("a_id", "b_id", F.round("sim", 4).alias("sim_r"))
 
 
@@ -168,8 +172,9 @@ def q_validate_events_props(spark, sf_dir):
 
 def q_dedup_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    # 5-gram shingles, 32 hashes, 8 bands — candidates then exact verify
-    return dedup.minhash_dedup(docs, jaccard_threshold=0.4)
+    # 5-gram shingles, 32 hashes, 4 bands x 8 rows (s-curve threshold
+    # ~0.84 — 8x4 banding passed ~40%% of ALL pairs at j=0.5, quadratic)
+    return dedup.minhash_dedup(docs, jaccard_threshold=0.7, bands=4)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -444,7 +449,8 @@ def oracle_sql() -> dict[str, str]:
                               list_transform(b.embedding, x -> x::DOUBLE),
                               list_transform(b.embedding, x -> x::DOUBLE)))),
                          4) AS sim_r
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(
                     list_transform(a.embedding, x -> x::DOUBLE),
                     list_transform(b.embedding, x -> x::DOUBLE))
@@ -494,7 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
-                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
+                     lang || '|' || CAST(CAST(floor(n_chars / 50.0) AS
                          BIGINT) AS VARCHAR) AS blk,
                      list_distinct([substr(text, i, 3)
                        FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])

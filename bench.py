@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS = int(os.environ.get("BENCH_DOCS", "500000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "2000000"))
 
 
 def _sf_label(path: str) -> float:
@@ -73,7 +73,7 @@ def _scaling_run(master: str, docs_path: str, media_path: str) -> tuple[float, i
     # enough scan tasks to exercise all cores, mirroring the many-split
     # layout of a real table
     spark = get_spark(f"bench_{master}", master=master, extra_conf={
-        "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
         "spark.sql.files.openCostInBytes": "0",
     })
     try:

@@ -28,7 +28,7 @@ DEFAULT_QUANTILES = [0.25, 0.5, 0.75, 0.95]
 
 
 def profile(df: DataFrame, columns: list[str] | None = None,
-            quantiles: list[float] = DEFAULT_QUANTILES,
+            quantiles: list[float] | None = DEFAULT_QUANTILES,
             exact: bool = False, rsd: float = 0.02) -> DataFrame:
     """Return one row per column: (column, n_rows, null_count, null_rate,
     distinct_count, min_s, max_s, mean, quantiles array)."""
@@ -50,9 +50,13 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
         if isinstance(dtypes[c], _NUMERIC):
             aggs.append(F.avg(F.col(c)).alias(f"{c}__mean"))
-            aggs.append(F.percentile_approx(
-                F.col(c).cast("double"), quantiles,
-                1_000_000 if exact else 10_000).alias(f"{c}__q"))
+            if quantiles:
+                aggs.append(F.percentile_approx(
+                    F.col(c).cast("double"), quantiles,
+                    1_000_000 if exact else 10_000).alias(f"{c}__q"))
+            else:
+                aggs.append(F.lit(None).cast("array<double>")
+                             .alias(f"{c}__q"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
             aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
