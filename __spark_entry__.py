@@ -193,6 +193,73 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                                      block_col="blk")
 
 
+
+_CUSTOMER_AUDIT = {
+    "type": "object",
+    "required": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "properties": {
+        "c_name": {"type": "string", "pattern": "^Customer#[0-9]{9}$"},
+        "c_nationkey": {"type": "integer", "minimum": 0, "maximum": 24},
+        "c_acctbal": {"type": "number", "minimum": -1000,
+                      "maximum": 10000},
+        "c_mktsegment": {"enum": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"]},
+    },
+}
+
+_PART_AUDIT = {
+    "type": "object",
+    "properties": {
+        "p_size": {"type": "integer", "minimum": 1, "maximum": 50},
+        "p_retailprice": {"exclusiveMinimum": 0},
+    },
+    "if": {"properties": {"p_type": {"const": "ECONOMY"}},
+           "required": ["p_type"]},
+    "then": {"properties": {"p_retailprice": {"maximum": 1500}}},
+}
+
+
+def q_validate_customer(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    v = validate_dataframe(cu, _CUSTOMER_AUDIT, mode="columns")
+    return v.select("c_custkey", "valid",
+                    F.size("violations").cast("long").alias("n_violations"))
+
+
+def q_validate_part_conditional(spark, sf_dir):
+    pa = _t(spark, sf_dir, "part")
+    v = validate_dataframe(pa, _PART_AUDIT, mode="columns")
+    return v.select("p_partkey", "valid",
+                    F.size("violations").cast("long").alias("n_violations"))
+
+
+def q_referential_supplier_nation(spark, sf_dir):
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    o = relational.orphans(su.select("s_suppkey", "s_nationkey"),
+                           "s_nationkey", na, "n_nationkey",
+                           broadcast_parent=True)
+    return o.select("s_suppkey", F.col("s_nationkey"))
+
+
+def q_drift_ks_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return drift.ks_binned_table(a, b, "value", bins=32)
+
+
+def q_agg_user_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.count_distinct("event_type").alias("n_types"),
+                   F.round(F.sum("value"), 4).alias("sum_value"),
+                   F.min("ts").alias("first_ts"),
+                   F.max("ts").alias("last_ts")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -213,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "validate_customer": q_validate_customer,
+        "validate_part_conditional": q_validate_part_conditional,
+        "referential_supplier_nation": q_referential_supplier_nation,
+        "drift_ks_value": q_drift_ks_value,
+        "agg_user_profile": q_agg_user_profile,
     }
 
 
@@ -494,6 +566,112 @@ def oracle_sql() -> dict[str, str]:
                     AND json_extract(props, '$.k')::BIGINT >= 0
                     AND json_extract(props, '$.k')::BIGINT <= 100) AS valid
             FROM events
+        """,
+
+        "validate_customer": """
+            SELECT c_custkey,
+                   ((CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_name IS NOT NULL AND NOT
+                       regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NOT NULL AND NOT
+                       (c_nationkey >= 0) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NOT NULL AND NOT
+                       (c_nationkey <= 24) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NOT NULL AND NOT
+                       (c_acctbal >= -1000) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NOT NULL AND NOT
+                       (c_acctbal <= 10000) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_mktsegment IS NOT NULL AND
+                       c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',
+                       'FURNITURE','HOUSEHOLD','MACHINERY')
+                       THEN 1 ELSE 0 END)) = 0 AS valid,
+                   ((CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_name IS NOT NULL AND NOT
+                       regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NOT NULL AND NOT
+                       (c_nationkey >= 0) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_nationkey IS NOT NULL AND NOT
+                       (c_nationkey <= 24) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NOT NULL AND NOT
+                       (c_acctbal >= -1000) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_acctbal IS NOT NULL AND NOT
+                       (c_acctbal <= 10000) THEN 1 ELSE 0 END)
+                  + (CASE WHEN c_mktsegment IS NOT NULL AND
+                       c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',
+                       'FURNITURE','HOUSEHOLD','MACHINERY')
+                       THEN 1 ELSE 0 END))::BIGINT AS n_violations
+            FROM customer
+        """,
+        "validate_part_conditional": """
+            SELECT p_partkey,
+                   ((CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1)
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_size IS NOT NULL AND NOT (p_size <= 50)
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_retailprice IS NOT NULL AND NOT
+                       (p_retailprice > 0) THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_type IS NOT NULL AND p_type = 'ECONOMY'
+                       AND p_retailprice IS NOT NULL
+                       AND NOT (p_retailprice <= 1500)
+                       THEN 1 ELSE 0 END)) = 0 AS valid,
+                   ((CASE WHEN p_size IS NOT NULL AND NOT (p_size >= 1)
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_size IS NOT NULL AND NOT (p_size <= 50)
+                       THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_retailprice IS NOT NULL AND NOT
+                       (p_retailprice > 0) THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_type IS NOT NULL AND p_type = 'ECONOMY'
+                       AND p_retailprice IS NOT NULL
+                       AND NOT (p_retailprice <= 1500)
+                       THEN 1 ELSE 0 END))::BIGINT AS n_violations
+            FROM part
+        """,
+        "referential_supplier_nation": """
+            SELECT s_suppkey, s_nationkey FROM supplier
+            WHERE s_nationkey IS NOT NULL
+              AND s_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                      WHERE n_nationkey IS NOT NULL)
+        """,
+        "drift_ks_value": """
+            WITH av AS (SELECT value AS v FROM events
+                        WHERE event_id % 2 = 0 AND value IS NOT NULL),
+                 bv AS (SELECT value AS v FROM events
+                        WHERE event_id % 2 = 1 AND value IS NOT NULL),
+                 bounds AS (SELECT min(v) lo, max(v) hi FROM
+                            (SELECT v FROM av UNION ALL SELECT v FROM bv)),
+                 ca AS (SELECT least(31, CAST(floor((v - lo) / (hi - lo)
+                          * 32) AS INT)) AS bin, count(*) AS na
+                        FROM av, bounds GROUP BY 1),
+                 cb AS (SELECT least(31, CAST(floor((v - lo) / (hi - lo)
+                          * 32) AS INT)) AS bin, count(*) AS nb
+                        FROM bv, bounds GROUP BY 1),
+                 m AS (SELECT coalesce(ca.bin, cb.bin) AS bin,
+                              coalesce(na, 0)::BIGINT AS na,
+                              coalesce(nb, 0)::BIGINT AS nb
+                       FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin)
+            SELECT bin, na, nb,
+                   round(abs(sum(na) OVER (ORDER BY bin)
+                             / (sum(na) OVER ())
+                           - sum(nb) OVER (ORDER BY bin)
+                             / (sum(nb) OVER ())), 6) AS cdf_diff
+            FROM m
+        """,
+        "agg_user_profile": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   count(DISTINCT event_type)::BIGINT AS n_types,
+                   round(sum(value), 4) AS sum_value,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id
         """,
         # dedup_minhash / dedup_simhash: builtin xxhash64 + 64-bit wrap
         # arithmetic is not portable to DuckDB → rows-only check

@@ -82,6 +82,39 @@ def ks_binned(sample_a: DataFrame, sample_b: DataFrame, value_col: str,
     return result.agg(F.max("d")).collect()[0][0] or 0.0
 
 
+def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
+                    value_col: str, bins: int = 64) -> DataFrame:
+    """DataFrame form of the binned two-sample KS: one row per occupied
+    bin with counts and the running |ECDF_a - ECDF_b| — fully
+    plan-expressed (range via a broadcast 1-row aggregate, no driver
+    collect), so it composes into larger audits."""
+    a = sample_a.select(F.col(value_col).cast("double").alias("v")) \
+                .where(F.col("v").isNotNull())
+    b = sample_b.select(F.col(value_col).cast("double").alias("v")) \
+                .where(F.col("v").isNotNull())
+    pooled = a.unionByName(b)
+    bounds = pooled.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    def counts(df, tag):
+        with_b = df.crossJoin(F.broadcast(bounds))
+        bin_id = F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * bins)).cast("int")
+        return with_b.groupBy(bin_id.alias("bin")) \
+                     .agg(F.count(F.lit(1)).alias(tag))
+
+    merged = counts(a, "na").join(counts(b, "nb"), "bin", "full_outer") \
+        .fillna(0, ["na", "nb"])
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ta = F.sum("na").over(Window.partitionBy())
+    tb = F.sum("nb").over(Window.partitionBy())
+    return merged.select(
+        "bin", "na", "nb",
+        F.round(F.abs(F.sum("na").over(w) / ta
+                      - F.sum("nb").over(w) / tb), 6).alias("cdf_diff"))
+
+
 def drift_report(current: DataFrame, reference: DataFrame,
                  categorical: list[str], continuous: list[str],
                  ks_threshold: float = 0.1,
