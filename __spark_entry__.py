@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from valico_spark.operators import dedup, drift, relational, similarity, stats
 from valico_spark.operators import text as text_ops
 from valico_spark.operators.validate import (
-    validate_dataframe, validate_json_column, violation_rows,
+    validate_dataframe, validate_json_column, validation_counts,
+    violation_rows,
 )
 from valico_spark.rulesets import LINEITEM_RULESET, ORDERS_RULESET
 
@@ -53,10 +54,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_validate_orders(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
-    v = validate_dataframe(orders, _ORDERS_AUDIT, mode="columns")
-    return v.select(F.col("o_orderkey"),
-                    F.col("valid"),
-                    F.size("violations").cast("long").alias("n_violations"))
+    # verdict-only: count compiler (no violation-struct construction)
+    v = validation_counts(orders, _ORDERS_AUDIT)
+    return v.select(F.col("o_orderkey"), F.col("valid"),
+                    F.col("n_violations"))
 
 
 def q_orders_violation_rows(spark, sf_dir):
@@ -68,11 +69,10 @@ def q_orders_violation_rows(spark, sf_dir):
 
 def q_validate_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    v = validate_dataframe(li, _LINEITEM_AUDIT, mode="columns")
+    v = validation_counts(li, _LINEITEM_AUDIT)
     return v.select(F.col("l_orderkey"),
                     F.col("l_linenumber").cast("long").alias("l_linenumber"),
-                    F.col("valid"),
-                    F.size("violations").cast("long").alias("n_violations"))
+                    F.col("valid"), F.col("n_violations"))
 
 
 def q_uniqueness_events_user(spark, sf_dir):
@@ -222,16 +222,14 @@ _PART_AUDIT = {
 
 def q_validate_customer(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer")
-    v = validate_dataframe(cu, _CUSTOMER_AUDIT, mode="columns")
-    return v.select("c_custkey", "valid",
-                    F.size("violations").cast("long").alias("n_violations"))
+    v = validation_counts(cu, _CUSTOMER_AUDIT)
+    return v.select("c_custkey", "valid", "n_violations")
 
 
 def q_validate_part_conditional(spark, sf_dir):
     pa = _t(spark, sf_dir, "part")
-    v = validate_dataframe(pa, _PART_AUDIT, mode="columns")
-    return v.select("p_partkey", "valid",
-                    F.size("violations").cast("long").alias("n_violations"))
+    v = validation_counts(pa, _PART_AUDIT)
+    return v.select("p_partkey", "valid", "n_violations")
 
 
 def q_referential_supplier_nation(spark, sf_dir):

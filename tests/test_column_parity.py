@@ -99,3 +99,49 @@ def test_column_plan_is_wholestage(docs_df):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_count_compiler_matches_array_compiler(docs_df, media_df):
+    from valico_spark.operators.validate import validation_counts
+    from valico_spark.rulesets import DOCS_RULESET, MEDIA_RULESET
+
+    from valico_spark.compiler.columns import compile_ruleset
+    from valico_spark.compiler.counts import compile_violation_count
+
+    for df, rs in ((docs_df, DOCS_RULESET), (media_df, MEDIA_RULESET)):
+        arr = compile_ruleset(rs, df.schema)
+        cnt = compile_violation_count(rs, df.schema)
+        bad = df.select(F.size(arr).cast("long").alias("n"),
+                        cnt.alias("n2")) \
+                .where(F.col("n") != F.col("n2")).count()
+        assert bad == 0
+
+
+def test_count_compiler_fuzz(spark):
+    import random
+
+    from test_fuzz_parity import ROW_TYPE, gen_row, gen_ruleset
+    from valico_spark.compiler.columns import (
+        UnsupportedRule, compile_ruleset,
+    )
+    from valico_spark.compiler.counts import compile_violation_count
+    from pyspark.sql import types as T
+
+    rnd = random.Random(99)
+    rows = [gen_row(rnd, i) for i in range(80)]
+    df = spark.createDataFrame(rows, ROW_TYPE)
+    schema = T.StructType([f for f in ROW_TYPE.fields if f.name != "id"])
+    checked = 0
+    for _ in range(25):
+        ruleset = gen_ruleset(rnd)
+        try:
+            arr = compile_ruleset(ruleset, schema)
+            cnt = compile_violation_count(ruleset, schema)
+        except UnsupportedRule:
+            continue
+        bad = df.select(F.size(arr).cast("long").alias("n"),
+                        cnt.alias("n2")) \
+                .where(F.col("n") != F.col("n2")).count()
+        assert bad == 0, ruleset
+        checked += 1
+    assert checked >= 15

@@ -101,6 +101,18 @@ def validate_json_column(df: DataFrame, json_col: str, ruleset: Any,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def validation_counts(df: DataFrame, ruleset: Any,
+                      version: int = DRAFT7) -> DataFrame:
+    """Verdict-only fast path: appends ``valid`` + ``n_violations`` via
+    the count compiler (pure integer arithmetic — no violation-struct
+    construction; ~2x cheaper scans when the rows aren't needed)."""
+    from valico_spark.compiler.counts import compile_violation_count
+
+    cnt = compile_violation_count(ruleset, df.schema, version=version)
+    out = df.withColumn("n_violations", cnt)
+    return out.withColumn("valid", F.col("n_violations") == 0)
+
+
 def violation_rows(validated: DataFrame, id_cols: list[str]) -> DataFrame:
     """Explode per-document violations into the audit-table shape:
     one row per violation with the document identifier columns."""
