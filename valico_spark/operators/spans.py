@@ -37,7 +37,9 @@ def span_signature(spans: Column) -> Column:
     canon = F.transform(spans, lambda s: F.struct(
         s["kind"].alias("kind"), s["text"].alias("text"),
         s["media_ref"].alias("media_ref")))
-    return F.xxhash64(F.to_json(canon))
+    # xxhash64 hashes array<struct> natively (order-sensitive) — no JSON
+    # string materialization, far less allocation on wide scans
+    return F.xxhash64(canon)
 
 
 def add_span_checks(df: DataFrame, spans_col: str = "spans") -> DataFrame:

@@ -39,10 +39,13 @@ def fixture_dir(n_docs: int = 20_000, seed: int = 42) -> str:
     """Materialize (once) and return the synthetic docs fixture directory."""
     from valico_spark.sources.synth import write_fixture
 
-    out = os.path.join(_FIXTURE_DIR, f"docs_{n_docs}_{seed}")
+    out = os.path.join(_FIXTURE_DIR, f"docs_{n_docs}_{seed}_v2")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        write_fixture(out, n_docs=n_docs, n_media=max(1000, n_docs), seed=seed)
+        # media table ~5% of docs: realistic dimension ratio, and small
+        # enough that the referential parent is genuinely broadcastable
+        write_fixture(out, n_docs=n_docs,
+                      n_media=max(1000, n_docs // 20), seed=seed)
         with open(marker, "w") as f:
             f.write("ok")
     return out
