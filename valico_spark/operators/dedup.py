@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from valico_spark.operators.util import ensure_min_partitions
+
 MERSENNE61 = (1 << 61) - 1
 
 
@@ -54,19 +56,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     |A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B| — set algebra in
     codegen, no shuffle beyond the pair join.
     """
-    sh = df.select(F.col(id_col), char_shingles(F.col(text_col), n)
-                   .alias("sh"),
-                   *([F.col(block_col).alias("__blk")] if block_col else []))
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col), char_shingles(F.col(text_col), n).alias("sh"),
+        *([F.col(block_col).alias("__blk")] if block_col else []))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
                   *([F.col("__blk")] if block_col else []))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"),
                   *([F.col("__blk")] if block_col else []))
     joined = (a.join(b, "__blk") if block_col else a.crossJoin(b)) \
         .where(F.col("a_id") < F.col("b_id"))
-    # the per-pair set algebra is the expensive part — spread the pair
-    # table across the cluster instead of inheriting the (possibly
-    # broadcast-single-partition) join output layout
-    joined = joined.repartition(F.col("a_id"), F.col("b_id"))
+    # NB: no repartition of the pair table — that would shuffle two full
+    # shingle arrays per pair; parallelism comes from the streamed side's
+    # partitioning (ensure_min_partitions above)
     # sound prune before the expensive intersect: J(A,B) <= min/max sizes,
     # so pairs failing the size-ratio bound can never reach the threshold
     sa, sb = F.size(F.col("a_sh")), F.size(F.col("b_sh"))
@@ -123,7 +124,7 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
     is the only wide stage. Distinct pairs are emitted with a_id < b_id.
     """
     rows = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
+    sig = ensure_min_partitions(df).select(F.col(id_col).alias("id"),
                     minhash_signature(F.col(text_col), num_hashes, n, seed)
                     .alias("sig"))
     banded = sig.select(
@@ -150,14 +151,14 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                   seed: int = 17, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, seed,
-                                  id_col, text_col)
-    sh = df.select(F.col(id_col),
-                   char_shingles(F.col(text_col), n).alias("sh"))
+    cand = ensure_min_partitions(
+        minhash_lsh_candidates(df, num_hashes, bands, n, seed,
+                               id_col, text_col))
+    sh = ensure_min_partitions(df).select(
+        F.col(id_col), char_shingles(F.col(text_col), n).alias("sh"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    joined = cand.join(a, "a_id").join(b, "b_id") \
-        .repartition(F.col("a_id"), F.col("b_id"))
+    joined = cand.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
     sa, sb = F.size(F.col("a_sh")), F.size(F.col("b_sh"))
     joined = joined.where(
         F.least(sa, sb) >= F.lit(jaccard_threshold) * F.greatest(sa, sb))
@@ -210,8 +211,8 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
                        text_col: str = "text") -> DataFrame:
     """Near-dup candidates: equal SimHash bands (4×16-bit blocking — any
     pair within hamming distance 3 shares ≥1 band)."""
-    sigd = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col)).alias("sig"))
+    sigd = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigd.select("id", "sig", F.explode(F.array(*[

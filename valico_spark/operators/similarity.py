@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from valico_spark.operators.util import ensure_min_partitions
+
 
 def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b,
@@ -44,6 +46,7 @@ def all_pairs_above(df: DataFrame, threshold: float,
     LSH bucket or label) — at scale this is what bounds the join; without
     it the operator is quadratic and only suitable for sampled tiers.
     """
+    df = ensure_min_partitions(df)
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
                   *( [F.col(block_col).alias("__blk")] if block_col else []))
@@ -52,7 +55,6 @@ def all_pairs_above(df: DataFrame, threshold: float,
                   *( [F.col(block_col).alias("__blk")] if block_col else []))
     joined = (a.join(b, on="__blk") if block_col
               else a.crossJoin(b)).where(F.col("a_id") < F.col("b_id"))
-    joined = joined.repartition(F.col("a_id"), F.col("b_id"))
     sim = cosine(F.col("a_vec"), F.col("b_vec"))
     return (joined.withColumn("sim", sim)
                   .where(F.col("sim") >= threshold)

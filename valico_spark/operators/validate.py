@@ -69,6 +69,9 @@ def validate_json_column(df: DataFrame, json_col: str, ruleset: Any,
     """
     import pandas as pd  # noqa: F401 (executor-side)
 
+    from valico_spark.operators.util import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     ruleset_json = json.dumps(ruleset)
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
