@@ -1,0 +1,93 @@
+"""Tests: JSON-lines sources, defaults application, custom checks, CLI."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+class TestJsonlSource:
+    def test_validate_json_file(self, spark, tmp_path):
+        from valico_spark.sources.jsonl import validate_json_file
+
+        p = tmp_path / "docs.jsonl"
+        p.write_text('{"a": 1}\n{"a": "x"}\n\n{"b": 2}\n')
+        ruleset = {"type": "object", "required": ["a"],
+                   "properties": {"a": {"type": "integer"}}}
+        rows = validate_json_file(spark, str(p), ruleset).collect()
+        got = sorted((r["doc_json"], r["valid"]) for r in rows)
+        assert got == [('{"a": "x"}', False), ('{"a": 1}', True),
+                       ('{"b": 2}', False)]
+
+    def test_typed_reader_feeds_column_compiler(self, spark, tmp_path):
+        from valico_spark.operators.validate import validate_dataframe
+        from valico_spark.sources.jsonl import read_json_typed
+
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": 1, "s": "xx"}\n{"a": -5, "s": "y"}\n')
+        df = read_json_typed(spark, str(p))
+        ruleset = {"properties": {"a": {"minimum": 0},
+                                  "s": {"minLength": 2}}}
+        out = validate_dataframe(df, ruleset, mode="columns")
+        assert out.where(F.col("valid")).count() == 1
+        bad = out.where(~F.col("valid")).collect()[0]
+        assert sorted(v["code"] for v in bad["violations"]) == \
+            ["min_length", "minimum"]
+
+
+class TestDefaults:
+    def test_apply_defaults(self, spark):
+        from valico_spark.operators.validate import apply_defaults
+
+        df = spark.createDataFrame([(1, None), (2, "x")], ["id", "s"])
+        ruleset = {"properties": {"s": {"type": "string",
+                                        "default": "d"}}}
+        out = {r["id"]: r["s"] for r in apply_defaults(df, ruleset).collect()}
+        assert out == {1: "d", 2: "x"}
+
+
+class TestCustomCheck:
+    def test_custom_check_udf(self, spark):
+        from valico_spark.operators.validate import custom_check
+
+        df = spark.createDataFrame([(1, 10), (2, -3)], ["id", "v"])
+
+        def check(pdf):
+            return [[] if v >= 0 else
+                    [{"code": "wrong_value", "title": "neg", "path": "/v",
+                      "detail": f"{v} < 0"}]
+                    for v in pdf["v"]]
+
+        out = {r["id"]: r["custom_violations"]
+               for r in custom_check(df, check).collect()}
+        assert out[1] == []
+        assert out[2][0]["code"] == "wrong_value"
+        assert out[2][0]["detail"] == "-3 < 0"
+
+
+class TestCli:
+    def test_cli_run_and_resume(self, spark, docs_df, tmp_path,
+                                monkeypatch):
+        import valico_spark.cli as cli
+        import valico_spark.session as sess
+
+        docs_path = str(tmp_path / "docs")
+        docs_df.limit(500).write.parquet(docs_path)
+        rules_path = tmp_path / "rules.json"
+        from valico_spark.rulesets import DOCS_RULESET
+        rules_path.write_text(json.dumps(DOCS_RULESET))
+
+        monkeypatch.setattr(sess, "get_spark",
+                            lambda *a, **k: spark)
+        rc = cli.main(["--input", docs_path, "--ruleset", str(rules_path),
+                       "--audit-dir", str(tmp_path / "audit"),
+                       "--run-id", "t1", "--buckets", "3"])
+        assert rc == 0
+        # resume: nothing pending
+        rc = cli.main(["--input", docs_path, "--ruleset", str(rules_path),
+                       "--audit-dir", str(tmp_path / "audit"),
+                       "--run-id", "t1", "--buckets", "3"])
+        assert rc == 0
+        from valico_spark.plans.audit import AuditRun
+        run = AuditRun(spark, str(tmp_path / "audit"), "t1", n_buckets=3)
+        assert run.pending_buckets() == []
+        assert sum(m["docs"] for m in run.metrics()) == 500

@@ -139,6 +139,50 @@ def verdict_summary(validated: DataFrame) -> DataFrame:
                   .alias("valid_rows")))
 
 
+def apply_defaults(df: DataFrame, ruleset: Any) -> DataFrame:
+    """Defaults as derived columns (the column-path equivalent of the
+    reference's supply_defaults, scope.rs:52-122): for every top-level
+    property with a scalar ``default``, absent (NULL) values are replaced
+    with ``coalesce(col, lit(default))``."""
+    props = ruleset.get("properties", {}) if isinstance(ruleset, dict) \
+        else {}
+    out = df
+    for key, sub in props.items():
+        if (isinstance(sub, dict) and "default" in sub
+                and key in df.columns
+                and not isinstance(sub["default"], (list, dict))):
+            out = out.withColumn(key, F.coalesce(F.col(key),
+                                                 F.lit(sub["default"])))
+    return out
+
+
+def custom_check(df: DataFrame, fn, out_col: str = "custom_violations",
+                 batch_cols: list[str] | None = None) -> DataFrame:
+    """The `validate_with` extension point (json_dsl builder.rs:120-125)
+    lifted to Spark: ``fn(pandas.DataFrame) -> list[list[dict]]`` returns
+    per-row violation dicts ({code,title,path,detail}); executed as an
+    Arrow-batched mapInPandas stage — vectorized, never per-row Python."""
+    cols = batch_cols or df.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} {VIOLATION_DDL}"
+
+    def run(batches):
+        for pdf in batches:
+            viols = fn(pdf[cols])
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                [{"code": v.get("code", "wrong_value"),
+                  "title": v.get("title", ""),
+                  "path": v.get("path", ""),
+                  "detail": v.get("detail"),
+                  "states": None} for v in row]
+                for row in viols]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def validate_column(df: DataFrame, column: str, ruleset: Any,
                     version: int = DRAFT7) -> DataFrame:
     """Validate a single (possibly nested) column instead of the row."""
