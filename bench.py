@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS = int(os.environ.get("BENCH_DOCS", "2000000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "4000000"))
 SCALE_BASE = os.environ.get("BENCH_SCALE_BASE", "2")
 SCALE_BIG = os.environ.get("BENCH_SCALE_BIG", "8")
 
