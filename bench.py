@@ -97,6 +97,9 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
         "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
         "spark.sql.files.openCostInBytes": "0",
         "spark.driver.memory": "32g",
+        # the measured stage is shuffle-free; AQE only adds per-action
+        # re-planning latency to the huge expression tree
+        "spark.sql.adaptive.enabled": "false",
         # the violations expression codegens into huge methods; without
         # these the JIT skips them and runs interpreted (4-20x slower,
         # high variance)
@@ -110,7 +113,7 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
     plan = _build_validate_stage(spark, docs_path)
     _sink(plan)
     v_times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         _sink(plan)
         v_times.append(time.time() - t0)
