@@ -248,13 +248,171 @@ class ColumnCompiler:
             parts.append(self._not(s["not"], t, d))
         if "if" in s:
             parts.append(self._conditional(s, t, d))
-        if "unevaluatedProperties" in s or "unevaluatedItems" in s:
-            if self.version >= DRAFT2019:
-                raise UnsupportedRule(
-                    "unevaluated* needs the dynamic evaluated-set walker")
+        if "unevaluatedProperties" in s and self.version >= DRAFT2019:
+            parts.append(self._unevaluated_properties(s, t, d))
+        if "unevaluatedItems" in s and self.version >= DRAFT2019:
+            raise UnsupportedRule(
+                "unevaluatedItems needs the dynamic evaluated-set walker")
         if "contentEncoding" in s or "contentMediaType" in s:
             parts.append(self._content_media(s, t))
 
+        return _concat(parts)
+
+    # -- unevaluatedProperties (2019-09) ----------------------------------
+    # SURVEY.md §7 hard-part 1: valico's `evaluated` set is dynamic —
+    # properties mark a key evaluated only when that key's subschema
+    # PASSED (validators/properties.rs:52-56), anyOf merges the sets of
+    # valid branches, oneOf takes the single valid branch, if/then/else
+    # merge conditionally. For typed struct targets the key space is
+    # static, so the whole set compiles to one boolean column per key.
+
+    def _evaluated_keys(self, s: dict, t: Target,
+                        depth: int) -> dict[str, Column]:
+        """Per-field 'evaluated' boolean columns mirroring
+        validators/mod.rs evaluated-set semantics for a StructType target."""
+        import re as _re
+
+        if not isinstance(t.dtype, T.StructType):
+            raise UnsupportedRule("evaluated-set analysis needs a struct")
+        fields = {f.name: f for f in t.dtype.fields}
+        ev: dict[str, Column] = {}
+
+        def mark(key: str, cond: Column) -> None:
+            ev[key] = (ev[key] | cond) if key in ev else cond
+
+        def present(key: str) -> Column:
+            return t.col.isNotNull() & t.col.getField(key).isNotNull()
+
+        def child(key: str) -> Target:
+            return t.child(t.col.getField(key), fields[key].dataType,
+                           F.concat(t.path, F.lit("/" + key)))
+
+        def branch_ev_and_valid(sub) -> tuple[dict[str, Column], Column]:
+            sub_n = {"not": {}} if sub is False else ({} if sub is True
+                                                      else sub)
+            if not isinstance(sub_n, dict):
+                raise UnsupportedRule("schema must be object/boolean")
+            valid = F.size(self._node(sub_n, t, depth + 1)) == 0
+            return self._evaluated_keys(sub_n, t, depth + 1), valid
+
+        if "$ref" in s:
+            ref_ev = self._evaluated_keys(
+                self._resolve_ref(s["$ref"]), t, depth + 1)
+            for k, c in ref_ev.items():
+                mark(k, c)
+            if self.version < DRAFT2019:
+                return ev
+
+        props = s.get("properties", {})
+        patterns = s.get("patternProperties", {})
+        additional = s.get("additionalProperties")
+        for key in fields:
+            matched = False
+            if key in props:
+                matched = True
+                sub_viol = self._node(props[key], child(key), depth + 1)
+                mark(key, present(key) & (F.size(sub_viol) == 0))
+            for pat, psub in patterns.items():
+                if _re.search(pat, key):
+                    matched = True
+                    sub_viol = self._node(psub, child(key), depth + 1)
+                    mark(key, present(key) & (F.size(sub_viol) == 0))
+            if not matched and additional is not None:
+                if additional is True:
+                    mark(key, present(key))  # properties.rs:106-108
+                elif additional is False:
+                    pass  # forbidden, never evaluated
+                else:
+                    sub_viol = self._node(additional, child(key), depth + 1)
+                    mark(key, present(key) & (F.size(sub_viol) == 0))
+
+        for sub in s.get("allOf", []):
+            # allOf appends every branch state (of.rs:36-42): evaluated
+            # flags merge regardless of branch validity (the flags are
+            # already per-key success-conditioned)
+            for k, c in branch_ev_and_valid(sub)[0].items():
+                mark(k, c)
+
+        if "anyOf" in s:
+            for sub in s["anyOf"]:
+                bev, bvalid = branch_ev_and_valid(sub)
+                for k, c in bev.items():
+                    mark(k, bvalid & c)
+
+        if "oneOf" in s:
+            branches = [branch_ev_and_valid(sub) for sub in s["oneOf"]]
+            count = None
+            for _, v in branches:
+                x = F.when(v, 1).otherwise(0)
+                count = x if count is None else (count + x)
+            exactly_one = count == 1
+            for bev, bvalid in branches:
+                for k, c in bev.items():
+                    mark(k, exactly_one & bvalid & c)
+
+        if "if" in s:
+            iev, ivalid = branch_ev_and_valid(s["if"])
+            for k, c in iev.items():
+                mark(k, ivalid & c)  # conditional.rs:31
+            if "then" in s:
+                tev, _ = branch_ev_and_valid(s["then"])
+                for k, c in tev.items():
+                    mark(k, ivalid & c)
+            if "else" in s:
+                eev, _ = branch_ev_and_valid(s["else"])
+                for k, c in eev.items():
+                    mark(k, ~ivalid & c)
+
+        if "dependentSchemas" in s or "dependencies" in s:
+            deps = dict(s.get("dependencies", {}))
+            deps.update(s.get("dependentSchemas", {}))
+            for trig, dsub in deps.items():
+                if isinstance(dsub, (dict, bool)):
+                    trig_present = (present(trig) if trig in fields
+                                    else F.lit(False))
+                    bev, _ = branch_ev_and_valid(dsub)
+                    for k, c in bev.items():
+                        mark(k, trig_present & c)
+
+        # `type`/`const` mark the node's own path, not children; nested
+        # unevaluatedProperties inside branches would need its own pass —
+        # out of scope for the static analysis
+        for kw in ("unevaluatedProperties", "unevaluatedItems"):
+            for sub in s.get("allOf", []) + s.get("anyOf", []) \
+                    + s.get("oneOf", []):
+                if isinstance(sub, dict) and kw in sub:
+                    raise UnsupportedRule(f"nested {kw} in combinator")
+        return ev
+
+    def _unevaluated_properties(self, s: dict, t: Target,
+                                depth: int) -> Column:
+        if not isinstance(t.dtype, T.StructType):
+            if t.dtype is None:
+                raise UnsupportedRule("unevaluatedProperties on untyped")
+            if isinstance(t.dtype, T.MapType):
+                raise UnsupportedRule(
+                    "unevaluatedProperties on open maps needs the walker")
+            return empty_violations()
+        spec = s["unevaluatedProperties"]
+        rest = {k: v for k, v in s.items() if k != "unevaluatedProperties"}
+        ev = self._evaluated_keys(rest, t, depth)
+        parts = []
+        for f_ in t.dtype.fields:
+            key = f_.name
+            present = t.col.isNotNull() & t.col.getField(key).isNotNull()
+            unevaluated = present & ~ev.get(key, F.lit(False))
+            if spec is False:
+                parts.append(_maybe(unevaluated, make_violation(
+                    "unevaluated", F.concat(t.path, F.lit("/" + key)),
+                    F.lit("Unevaluated properties are not allowed"))))
+            elif spec is True:
+                continue
+            else:
+                child = t.child(t.col.getField(key), f_.dataType,
+                                F.concat(t.path, F.lit("/" + key)))
+                sub_viol = self._node(spec, child, depth + 1)
+                parts.append(F.when(unevaluated, sub_viol)
+                              .otherwise(empty_violations()))
         return _concat(parts)
 
     # -- keyword emitters -------------------------------------------------
