@@ -75,6 +75,15 @@ def gen_scalar_schema(rnd: random.Random, depth: int) -> dict:
 
 def gen_array_schema(rnd: random.Random) -> dict:
     out = {}
+    if rnd.random() < 0.15:
+        # composite constants (strict nested number identity)
+        vals = [[rnd.choice([0, 1, 2, 5]) for _ in range(rnd.randint(0, 3))]
+                for _ in range(rnd.randint(1, 3))]
+        if rnd.random() < 0.5:
+            out["const"] = vals[0]
+        else:
+            out["enum"] = vals
+        return out
     if rnd.random() < 0.6:
         out["items"] = gen_scalar_schema(rnd, 1)
     if rnd.random() < 0.4:
@@ -94,12 +103,18 @@ def gen_ruleset(rnd: random.Random) -> dict:
         if f == "arr":
             props[f] = gen_array_schema(rnd)
         elif f == "st":
-            props[f] = {
-                "type": "object",
-                "required": rnd.sample(["a", "b"], rnd.randint(0, 2)),
-                "properties": {"a": gen_scalar_schema(rnd, 1),
-                               "b": gen_scalar_schema(rnd, 1)},
-            }
+            if rnd.random() < 0.15:
+                props[f] = {"const": {
+                    k: v for k, v in
+                    [("a", rnd.choice(["a", "zz"])),
+                     ("b", rnd.choice([1, 9]))][:rnd.randint(1, 2)]}}
+            else:
+                props[f] = {
+                    "type": "object",
+                    "required": rnd.sample(["a", "b"], rnd.randint(0, 2)),
+                    "properties": {"a": gen_scalar_schema(rnd, 1),
+                                   "b": gen_scalar_schema(rnd, 1)},
+                }
         else:
             props[f] = gen_scalar_schema(rnd, 0)
     out = {"type": "object", "properties": props}

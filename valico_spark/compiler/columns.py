@@ -445,52 +445,101 @@ class ColumnCompiler:
             return _maybe(bad, make_violation("wrong_type", t.path, detail))
         return empty_violations()
 
+    def _match_value(self, value: Any, col: Column, dtype,
+                     top_level: bool) -> Column | None:
+        """Boolean column: does ``col`` (of ``dtype``) equal ``value``
+        under the reference's matcher (helpers.rs:137-145)?
+        Top-level numbers compare through f64; NESTED numbers are strict
+        serde equality (int vs float are distinct Number variants — an
+        int constant can never equal a value held by a float column and
+        vice versa). Returns None when the match is statically impossible.
+        """
+        if value is None:
+            # JSON null ≡ absent in typed mode; a present value never
+            # matches the null constant
+            return None
+        if isinstance(value, bool):
+            if isinstance(dtype, T.BooleanType):
+                return col == F.lit(value)
+            return None
+        if is_number(value):
+            if not _is_numeric(dtype):
+                return None
+            if top_level:
+                return col.cast("double") == F.lit(float(value))
+            # strict: type classes must match
+            if isinstance(value, float) != _is_float(dtype):
+                return None
+            return col == F.lit(value)
+        if isinstance(value, str):
+            if isinstance(dtype, T.StringType):
+                return col == F.lit(value)
+            return None
+        if isinstance(value, list):
+            if not isinstance(dtype, T.ArrayType):
+                return None
+            et = dtype.elementType
+            if len(value) == 0:
+                return F.size(col) == 0
+            elem_preds = []
+            for i, v in enumerate(value):
+                m = self._match_value(v, F.element_at(col, i + 1), et,
+                                      top_level=False)
+                if m is None and v is not None:
+                    return None  # some element can never match
+                if v is None:
+                    m = F.element_at(col, i + 1).isNull()
+                elem_preds.append(m)
+            out = F.size(col) == len(value)
+            for m in elem_preds:
+                out = out & F.coalesce(m, F.lit(False))
+            return out
+        if isinstance(value, dict):
+            if not isinstance(dtype, T.StructType):
+                return None
+            fields = {f.name: f for f in dtype.fields}
+            if any(k not in fields for k in value):
+                return None  # const has a key the row type can't hold
+            preds = []
+            for f_ in dtype.fields:
+                c = col.getField(f_.name)
+                if f_.name in value:
+                    m = self._match_value(value[f_.name], c, f_.dataType,
+                                          top_level=False)
+                    if m is None:
+                        return None
+                    preds.append(F.coalesce(m, F.lit(False)))
+                else:
+                    preds.append(c.isNull())  # NULL ≡ absent
+            out = col.isNotNull()
+            for m in preds:
+                out = out & m
+            return out
+        raise UnsupportedRule(f"unsupported const value {value!r}")
+
     def _enum(self, values: list, t: Target) -> Column:
         if not isinstance(values, list) or not values:
             raise UnsupportedRule("enum must be a non-empty array")
-        if any(isinstance(v, (list, dict)) for v in values):
-            raise UnsupportedRule("composite enum constants")
-        possible = spark_json_types(t.dtype)
-        if possible is None:
+        if t.dtype is None:
             raise UnsupportedRule("enum on untyped target")
-        comparable = []
+        ok = None
         for v in values:
-            if isinstance(v, bool):
-                if "boolean" in possible:
-                    comparable.append(v)
-            elif is_number(v):
-                if "number" in possible:
-                    comparable.append(v)
-            elif isinstance(v, str):
-                if "string" in possible:
-                    comparable.append(v)
-            # null constant: NULL target is skipped anyway
-        if not comparable:
-            return _maybe(t.col.isNotNull(),
-                          make_violation("enum", t.path))
-        ok = t.col.isin(comparable)
-        return _maybe(t.col.isNotNull() & ~ok, make_violation("enum", t.path))
+            m = self._match_value(v, t.col, t.dtype, top_level=True)
+            if m is not None:
+                ok = m if ok is None else (ok | m)
+        if ok is None:  # nothing can ever match
+            return _maybe(t.col.isNotNull(), make_violation("enum", t.path))
+        return _maybe(t.col.isNotNull() & ~ok,
+                      make_violation("enum", t.path))
 
     def _const(self, value: Any, t: Target) -> Column:
-        if isinstance(value, (list, dict)):
-            raise UnsupportedRule("composite const")
-        if value is None:
-            # only JSON null matches; NULL target is "absent" → violation
-            # whenever a non-null value is present
-            return _maybe(t.col.isNotNull(), make_violation("const", t.path))
-        return self._enum_like_const(value, t)
-
-    def _enum_like_const(self, value, t: Target) -> Column:
-        possible = spark_json_types(t.dtype)
-        if possible is None:
+        if t.dtype is None:
             raise UnsupportedRule("const on untyped target")
-        type_ok = (("boolean" in possible if isinstance(value, bool)
-                    else "number" in possible if is_number(value)
-                    else "string" in possible))
-        if not type_ok:
+        m = self._match_value(value, t.col, t.dtype, top_level=True)
+        if m is None:
             return _maybe(t.col.isNotNull(), make_violation("const", t.path))
-        bad = t.col.isNotNull() & ~(t.col == F.lit(value))
-        return _maybe(bad, make_violation("const", t.path))
+        return _maybe(t.col.isNotNull() & ~m,
+                      make_violation("const", t.path))
 
     def _bound(self, m: Any, op: str, t: Target) -> Column:
         if not is_number(m):
