@@ -147,3 +147,80 @@ def test_unevaluated_simple_cases(spark):
                             for v in r["violations"])
             for r in df.select("id", viol2.alias("violations")).collect()}
     assert out2[3] == [("maximum", "/a"), ("unevaluated", "/a")]
+
+
+ARR_TYPE = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("arr", T.ArrayType(T.LongType()), True),
+])
+
+
+def gen_items_branch(rnd):
+    r = rnd.random()
+    if r < 0.4:
+        return {"items": rnd.choice([
+            {"minimum": 2}, {"maximum": 3}, {"type": "integer"}])}
+    if r < 0.7:
+        n = rnd.randint(1, 3)
+        out = {"items": [rnd.choice([{"minimum": 1}, {"maximum": 4}, {}])
+                         for _ in range(n)]}
+        if rnd.random() < 0.6:
+            out["additionalItems"] = rnd.choice(
+                [True, {"minimum": 0}, {"maximum": 2}])
+        return out
+    return {"minItems": rnd.randint(0, 2)}
+
+
+def gen_items_root(rnd):
+    out = {}
+    r = rnd.random()
+    if r < 0.35:
+        out.update(gen_items_branch(rnd))
+    elif r < 0.6:
+        out["anyOf"] = [gen_items_branch(rnd)
+                        for _ in range(rnd.randint(1, 3))]
+    elif r < 0.8:
+        out["allOf"] = [gen_items_branch(rnd)
+                        for _ in range(rnd.randint(1, 2))]
+    else:
+        out["if"] = gen_items_branch(rnd)
+        out["then"] = gen_items_branch(rnd)
+        if rnd.random() < 0.5:
+            out["else"] = gen_items_branch(rnd)
+    out["unevaluatedItems"] = rnd.choice(
+        [False, False, {"minimum": 3}])
+    return {"properties": {"arr": out}}
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_unevaluated_items_static_vs_walker(spark, seed):
+    rnd = random.Random(seed)
+    rows = [(i, rnd.choice(
+        [None, [], [1], [1, 2], [0, 5, 2], [4, 4, 4, 4], [2, 3, 1, 0, 5]]))
+        for i in range(60)]
+    df = spark.createDataFrame(rows, ARR_TYPE)
+    data_schema = T.StructType([ARR_TYPE.fields[1]])
+    json_rows = {r["id"]: r["doc"] for r in df.select(
+        "id", F.to_json(F.struct("arr")).alias("doc")).collect()}
+
+    checked = 0
+    for k in range(30):
+        ruleset = gen_items_root(rnd)
+        try:
+            viol = compile_ruleset(ruleset, data_schema, version=DRAFT2019)
+        except UnsupportedRule:
+            continue
+        out = df.select("id", viol.alias("violations")).collect()
+        scope = Scope(version=DRAFT2019)
+        sid = scope.compile(ruleset)
+        for r in out:
+            doc = json.loads(json_rows[r["id"]])
+            state = scope.validate(sid, doc)
+            exp = sorted((e.code, e.path) for e in state.errors)
+            got = sorted((v["code"], v["path"]) for v in r["violations"])
+            assert got == exp, (
+                f"seed={seed} ruleset#{k} id={r['id']}\n"
+                f"ruleset={json.dumps(ruleset)}\ndoc={doc}\n"
+                f"got={got}\nexp={exp}")
+        checked += 1
+    assert checked >= 20, checked

@@ -251,8 +251,7 @@ class ColumnCompiler:
         if "unevaluatedProperties" in s and self.version >= DRAFT2019:
             parts.append(self._unevaluated_properties(s, t, d))
         if "unevaluatedItems" in s and self.version >= DRAFT2019:
-            raise UnsupportedRule(
-                "unevaluatedItems needs the dynamic evaluated-set walker")
+            parts.append(self._unevaluated_items(s, t, d))
         if "contentEncoding" in s or "contentMediaType" in s:
             parts.append(self._content_media(s, t))
 
@@ -383,6 +382,126 @@ class ColumnCompiler:
                 if isinstance(sub, dict) and kw in sub:
                     raise UnsupportedRule(f"nested {kw} in combinator")
         return ev
+
+    def _evaluated_items(self, s: dict, t: Target,
+                         depth: int) -> Column:
+        """array<boolean> aligned with the target array: element i
+        evaluated? Mirrors validators/items.rs evaluated insertions
+        (success-conditioned) and the combinator merge rules. valico's
+        ``contains`` does NOT mark evaluated (validators/contains.rs)."""
+        if not isinstance(t.dtype, T.ArrayType):
+            raise UnsupportedRule("evaluated-items needs an array target")
+        etype = t.dtype.elementType
+        false_arr = F.transform(t.col, lambda x: F.lit(False))
+
+        def merge(a: Column, b: Column) -> Column:
+            return F.zip_with(a, b, lambda x, y: x | y)
+
+        def gate(arr: Column, cond: Column) -> Column:
+            return F.transform(arr, lambda x: cond & x)
+
+        ev = false_arr
+
+        items = s.get("items")
+        additional = s.get("additionalItems")
+        if isinstance(items, (dict, bool)):
+            ev = merge(ev, F.transform(
+                t.col,
+                lambda x: F.size(self._node(items, Target(x, etype,
+                                                          F.lit("")),
+                                            depth + 1)) == 0))
+        elif isinstance(items, list):
+            def positional(x: Column, i: Column) -> Column:
+                out = F.lit(False)
+                for idx, sub in enumerate(items):
+                    valid = F.size(self._node(sub, Target(x, etype,
+                                                          F.lit("")),
+                                              depth + 1)) == 0
+                    out = F.when(i == idx, valid).otherwise(out)
+                if additional is True:
+                    out = F.when(i >= len(items), F.lit(True)) \
+                        .otherwise(out)  # items.rs:118-123
+                elif isinstance(additional, dict):
+                    valid = F.size(self._node(additional,
+                                              Target(x, etype, F.lit("")),
+                                              depth + 1)) == 0
+                    out = F.when(i >= len(items), valid).otherwise(out)
+                return out
+            ev = merge(ev, F.transform(t.col, positional))
+
+        def branch(sub) -> tuple[Column, Column]:
+            sub_n = {"not": {}} if sub is False else ({} if sub is True
+                                                      else sub)
+            if not isinstance(sub_n, dict):
+                raise UnsupportedRule("schema must be object/boolean")
+            if "unevaluatedItems" in sub_n or "unevaluatedProperties" in sub_n:
+                raise UnsupportedRule("nested unevaluated* in combinator")
+            valid = F.size(self._node(sub_n, t, depth + 1)) == 0
+            return self._evaluated_items(sub_n, t, depth + 1), valid
+
+        for sub in s.get("allOf", []):
+            bev, _ = branch(sub)
+            ev = merge(ev, bev)
+        if "anyOf" in s:
+            for sub in s["anyOf"]:
+                bev, bvalid = branch(sub)
+                ev = merge(ev, gate(bev, bvalid))
+        if "oneOf" in s:
+            branches = [branch(sub) for sub in s["oneOf"]]
+            count = None
+            for _, v in branches:
+                x = F.when(v, 1).otherwise(0)
+                count = x if count is None else (count + x)
+            exactly_one = count == 1
+            for bev, bvalid in branches:
+                ev = merge(ev, gate(bev, exactly_one & bvalid))
+        if "if" in s:
+            iev, ivalid = branch(s["if"])
+            ev = merge(ev, gate(iev, ivalid))
+            if "then" in s:
+                tev, _ = branch(s["then"])
+                ev = merge(ev, gate(tev, ivalid))
+            if "else" in s:
+                eev, _ = branch(s["else"])
+                ev = merge(ev, gate(eev, ~ivalid))
+        if "$ref" in s:
+            rev = self._evaluated_items(self._resolve_ref(s["$ref"]), t,
+                                        depth + 1)
+            ev = merge(ev, rev)
+        return ev
+
+    def _unevaluated_items(self, s: dict, t: Target, depth: int) -> Column:
+        if not isinstance(t.dtype, T.ArrayType):
+            if t.dtype is None:
+                raise UnsupportedRule("unevaluatedItems on untyped target")
+            return empty_violations()
+        spec = s["unevaluatedItems"]
+        rest = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+        ev = self._evaluated_items(rest, t, depth)
+        etype = t.dtype.elementType
+        idx_ev = F.zip_with(
+            t.col, ev, lambda x, e: F.struct(x.alias("x"), e.alias("e")))
+
+        if spec is True:
+            return empty_violations()
+        if spec is False:
+            def emit(pair: Column, i: Column) -> Column:
+                return F.when(~pair["e"], F.array(make_violation(
+                    "unevaluated",
+                    F.concat(t.path, F.lit("/"), i.cast("string")),
+                    F.lit("Unevaluated items are not allowed")))
+                ).otherwise(empty_violations())
+        else:
+            def emit(pair: Column, i: Column) -> Column:
+                child = Target(pair["x"], etype,
+                               F.concat(t.path, F.lit("/"),
+                                        i.cast("string")))
+                return F.when(~pair["e"],
+                              self._node(spec, child, depth + 1)
+                              ).otherwise(empty_violations())
+        return F.when(t.col.isNotNull(),
+                      F.flatten(F.transform(idx_ev, emit))
+                      ).otherwise(empty_violations())
 
     def _unevaluated_properties(self, s: dict, t: Target,
                                 depth: int) -> Column:
