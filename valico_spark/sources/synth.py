@@ -163,3 +163,7 @@ def write_fixture(out_dir: str, n_docs: int = 20_000,
                    f"{out_dir}/docs.parquet", row_group_size=10_000)
     pq.write_table(generate_media_assets(n_media, seed=seed + 1),
                    f"{out_dir}/media_assets.parquet", row_group_size=10_000)
+    # zero-row table with the identical schema: used by the bench to
+    # measure pure plan-construction/optimization overhead
+    pq.write_table(generate_docs(2, seed=seed).slice(0, 0),
+                   f"{out_dir}/docs_empty.parquet")
