@@ -92,11 +92,12 @@ def q_referential_orphans(spark, sf_dir):
 def q_stats_profile_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
-    # quantile sketches skipped: this query's outputs don't use them and
-    # the GK sketch at exact accuracy dominated the agg cost
-    prof = stats.profile(li.select(*cols), exact=True, quantiles=None)
+    # two-level exact profile: one scan, no Catalyst Expand, and a
+    # partition-order-independent mean (integer centi-sums) so the value
+    # is bit-identical across engines and parallelism levels
+    prof = stats.profile_exact_numeric(li, cols, value_scale=2)
     return prof.select("column", "n_rows", "null_count", "distinct_count",
-                       F.round("mean", 3).alias("mean_r"))
+                       (F.col("mean_milli") / 1000.0).alias("mean_r"))
 
 
 def q_drift_chisq_event_type(spark, sf_dir):
@@ -410,28 +411,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
                   AND o_orderkey IS NOT NULL)
         """,
+        # mean_r mirrors the Spark side's order-independent integer
+        # arithmetic: centi-scaled long sum, half-up at 3 decimals via
+        # floor((20s+n)/(2n)) — identical bits on any engine (avg() over
+        # doubles is summation-order-dependent at the 3rd decimal)
         "stats_profile_lineitem": """
             SELECT 'l_quantity' AS "column", count(*)::BIGINT AS n_rows,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
                      AS null_count,
                    count(DISTINCT l_quantity)::BIGINT AS distinct_count,
-                   round(avg(l_quantity), 3) AS mean_r
+                   floor((20*sum(cast(round(l_quantity*100) AS BIGINT))
+                          + count(l_quantity)) / (2.0*count(l_quantity)))
+                     / 1000.0 AS mean_r
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', count(*),
                    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT l_discount), round(avg(l_discount), 3)
+                   count(DISTINCT l_discount),
+                   floor((20*sum(cast(round(l_discount*100) AS BIGINT))
+                          + count(l_discount)) / (2.0*count(l_discount)))
+                     / 1000.0
             FROM lineitem
             UNION ALL
             SELECT 'l_tax', count(*),
                    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
-                   count(DISTINCT l_tax), round(avg(l_tax), 3)
+                   count(DISTINCT l_tax),
+                   floor((20*sum(cast(round(l_tax*100) AS BIGINT))
+                          + count(l_tax)) / (2.0*count(l_tax)))
+                     / 1000.0
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
                    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT l_extendedprice),
-                   round(avg(l_extendedprice), 3)
+                   floor((20*sum(cast(round(l_extendedprice*100) AS BIGINT))
+                          + count(l_extendedprice))
+                         / (2.0*count(l_extendedprice))) / 1000.0
             FROM lineitem
         """,
         "drift_chisq_event_type": """
@@ -676,7 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
-                     lang || '|' || CAST(CAST(floor(n_chars / 50.0) AS
+                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
                          BIGINT) AS VARCHAR) AS blk,
                      list_distinct([substr(text, i, 3)
                        FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])

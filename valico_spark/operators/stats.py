@@ -61,7 +61,8 @@ def profile(df: DataFrame, columns: list[str] | None = None,
             aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
             aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
 
-    # single wide aggregation row → unpivot driver-side (tiny)
+    # single wide aggregation row (ONE row regardless of table size) →
+    # unpivot driver-side; the collect is a single-row action, not a loop
     row = df.agg(*aggs).collect()[0].asDict()
     n = row["__n"]
     out = []
@@ -85,3 +86,62 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         T.StructField("quantiles", T.ArrayType(T.DoubleType())),
     ])
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def profile_exact_numeric(df: DataFrame, columns: list[str],
+                          value_scale: int = 2) -> DataFrame:
+    """Exact single-scan profile of numeric columns, scale-safe.
+
+    Plan shape: scan once → ``inline`` (column, value) pairs → two-level
+    aggregation ``groupBy(column, value)`` then ``groupBy(column)``. This
+    gives EXACT distinct counts without the Catalyst Expand that N
+    ``count_distinct`` aggs in one ``agg`` would cost (an Expand
+    multiplies the scanned rows ×N), and every stage is a distributed
+    hash aggregation with map-side combine — no driver collect.
+
+    Determinism: the mean is order-independent — values are scaled to
+    integers at ``value_scale`` fractional digits (exact when the data
+    has at most that many decimals, e.g. money columns) and summed as
+    longs; ``mean_milli`` rounds half-up to 3 decimals in pure integer
+    arithmetic, so any engine computing the same formula gets the same
+    bits. Plain ``F.avg`` over doubles is partition-order-dependent at
+    the 3rd decimal for large sums.
+
+    Output per column: (column, n_rows, null_count, null_rate,
+    distinct_count, min_v, max_v, n_nonnull, sum_scaled, mean,
+    mean_milli).
+    """
+    if not 0 <= value_scale <= 3:
+        raise ValueError("value_scale must be in [0, 3] (mean_milli is "
+                         "defined at 3 fractional digits)")
+    mult = 10 ** value_scale
+    pairs = df.select(F.inline(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("double").alias("v"))
+        for c in columns])))
+    lvl1 = pairs.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+    sum_scaled = F.sum(
+        F.round(F.col("v") * mult, 0).cast("long") * F.col("cnt"))
+    prof = lvl1.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+         .alias("null_count"),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+         .alias("distinct_count"),
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        nn.alias("n_nonnull"), sum_scaled.alias("sum_scaled"))
+    # half-up round to 3 decimals, integer-exact: floor((20s+n)/(2n)) for
+    # centi-sums (valid for non-negative sums; the double division is
+    # exact-enough — |numerator/denominator - integer| >= 1/denominator
+    # >> ulp, so floor never flips)
+    mean_milli = F.floor(
+        (2 * F.col("sum_scaled") * (1000 // mult) + F.col("n_nonnull"))
+        / (2.0 * F.col("n_nonnull"))).cast("long")
+    return prof.select(
+        "column", "n_rows", "null_count",
+        (F.col("null_count") / F.col("n_rows")).alias("null_rate"),
+        "distinct_count", "min_v", "max_v", "n_nonnull", "sum_scaled",
+        (F.col("sum_scaled") / (F.lit(float(mult)) * F.col("n_nonnull")))
+        .alias("mean"),
+        mean_milli.alias("mean_milli"))
