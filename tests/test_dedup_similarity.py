@@ -1,0 +1,133 @@
+"""Dedup + similarity operator tests: correctness on the driver-generated
+documents/embeddings tables plus plan-shape assertions for the scale
+contracts (no user broadcast of corpus-sized relations; multi-probe
+recall)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from valico_spark.operators import dedup, similarity
+from valico_spark.operators.validate import (
+    validate_dataframe, verdict_summary, violation_counts_by_code,
+)
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def analyzed_plan(df):
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+class TestMinhash:
+    def test_candidates_superset_of_high_jaccard(self, documents):
+        """Every pair the exact verifier confirms must have come through
+        the LSH bucketing (internal consistency), and verified pairs
+        really have Jaccard >= threshold."""
+        out = dedup.minhash_dedup(documents, jaccard_threshold=0.7,
+                                  bands=4).collect()
+        assert all(r.jaccard >= 0.7 for r in out)
+        assert all(r.a_id < r.b_id for r in out)
+
+    def test_no_user_broadcast_of_corpus(self, documents):
+        """The verify join must not hint-broadcast the corpus shingle
+        table: the analyzed plan carries no ResolvedHint (AQE runtime
+        broadcasts are size-gated and fine; a hint is unconditional)."""
+        out = dedup.minhash_dedup(documents, jaccard_threshold=0.7, bands=4)
+        plan = analyzed_plan(out)
+        assert "ResolvedHint" not in plan
+        assert "UnresolvedHint" not in plan
+
+    def test_matches_blocked_exact_jaccard(self, documents):
+        """LSH-verified pairs at a high threshold should equal the
+        exact blocked-Jaccard pairs restricted to LSH candidates."""
+        verified = {(r.a_id, r.b_id)
+                    for r in dedup.minhash_dedup(
+                        documents, jaccard_threshold=0.8, bands=4).collect()}
+        cand = {(r.a_id, r.b_id)
+                for r in dedup.minhash_lsh_candidates(
+                    documents, bands=4).collect()}
+        exact = {(r.a_id, r.b_id)
+                 for r in dedup.ngram_jaccard_pairs(
+                     documents, threshold=0.8, n=5).collect()}
+        assert verified == (exact & cand)
+
+
+class TestUniquenessPlan:
+    def test_no_unconditional_broadcast(self, documents):
+        from valico_spark.operators import relational
+
+        out = relational.uniqueness_violations(documents, ["text"],
+                                               ["doc_id"])
+        assert "ResolvedHint" not in analyzed_plan(out)
+
+
+class TestLshTopk:
+    def test_multiprobe_recall_vs_brute_force(self, embeddings):
+        queries = embeddings.where(F.col("vec_id") < 8)
+        dim = len(embeddings.select("embedding").first()[0])
+        exact = similarity.brute_force_topk(embeddings, queries, k=5)
+        # this table's true neighbors sit at ~70 deg (near-uniform cloud:
+        # per-bit SRP agreement ~0.61), so recall needs wide buckets —
+        # bits=4. Real near-dup loads (cosine>=0.9, p~0.9) use bits=8+.
+        approx = similarity.lsh_topk(embeddings, queries, k=5, bits=4,
+                                     tables=4, dim=dim, probe_dist=1)
+        e = {(r.q_id, r.n_id) for r in exact.collect()}
+        a = {(r.q_id, r.n_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6, f"recall {recall}"
+        single = similarity.lsh_topk(embeddings, queries, k=5, bits=4,
+                                     tables=1, dim=dim, probe_dist=0)
+        s = {(r.q_id, r.n_id) for r in single.collect()}
+        # OR-amplification + multi-probe never hurts recall
+        assert len(e & a) >= len(e & s)
+
+    def test_dim_param_avoids_corpus_action(self, embeddings):
+        """With dim passed, building the plan triggers no Spark job."""
+        spark = embeddings.sparkSession
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        similarity.lsh_topk(embeddings, embeddings.limit(2), k=3, bits=4,
+                            dim=8)
+        after = tracker.getJobIdsForGroup(None)
+        assert before == after
+
+
+class TestVerdictSummary:
+    RULESET = {"type": "object",
+               "required": ["doc_id"],
+               "properties": {"n_chars": {"type": "integer", "minimum": 0,
+                                          "maximum": 3}}}
+
+    def test_counts_documents_not_violations(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 99), (None, 99)], "doc_id string, n_chars int")
+        v = validate_dataframe(df, self.RULESET)
+        row = verdict_summary(v).collect()[0]
+        assert row.docs == 3
+        assert row.valid_docs == 1
+        # b: maximum; null-doc_id row: required AND maximum (n_chars=99)
+        # — 3 violations over 2 invalid docs
+        assert row.total_violations == 3
+
+    def test_counts_by_code(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 99), ("c", 99), (None, 99)],
+            "doc_id string, n_chars int")
+        v = validate_dataframe(df, self.RULESET)
+        rows = {r.code: r for r in violation_counts_by_code(v).collect()}
+        assert rows["maximum"].n_violations == 3
+        assert rows["maximum"].n_docs == 3
+        assert rows["required"].n_violations == 1
+        assert rows["required"].n_docs == 1

@@ -619,10 +619,20 @@ class ContainsV:
             state.missing.append(self.url)
             return state
         matched = 0
-        for idx, item in enumerate(val):
-            result = schema.validate_in(item, join_path(path, str(idx)), scope)
+        array = val
+        mutated = False
+        for idx in range(len(array)):
+            result = schema.validate_in(array[idx],
+                                        join_path(path, str(idx)), scope)
             if result.is_valid():
                 matched += 1
+                # contains.rs:35-38 — a matching sub-result's replacement
+                # (supply_defaults mutation) is written back into the
+                # array, Cow-style (copy on first write)
+                if result.replacement is not NO_REPL:
+                    if not mutated:
+                        array, mutated = list(array), True
+                    array[idx] = result.replacement
                 if self.min_contains is None and self.max_contains is None:
                     break  # contains.rs:38-40 short-circuit
         if matched == 0 and self.min_contains != 0:
@@ -633,6 +643,10 @@ class ContainsV:
         if self.min_contains is not None and matched < self.min_contains:
             state.errors.append(
                 schema_violation("min_contains/max_contains", path))
+        if mutated:
+            # contains.rs:73 set_replacement is unconditional (assigns
+            # only when the Cow was actually written)
+            state.replacement = array
         return state
 
 

@@ -175,15 +175,27 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                   num_hashes: int = 32, bands: int = 8, n: int = 5,
                   seed: int = 17, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """LSH candidates verified with exact n-gram Jaccard."""
+    """LSH candidates verified with exact n-gram Jaccard.
+
+    Scale shape: the corpus-sized shingle table is never broadcast.
+    It is first semi-join-filtered down to docs that appear in some
+    candidate pair (at a sane LSH threshold that is a small fraction of
+    the corpus), then joined to the pair table with plain shuffle joins
+    keyed on the doc id — AQE may still choose a runtime broadcast, but
+    only when the *filtered* side measures small.
+    """
     cand = ensure_min_partitions(
         minhash_lsh_candidates(df, num_hashes, bands, n, seed,
                                id_col, text_col))
     sh = ensure_min_partitions(df).select(
         F.col(id_col), char_shingles(F.col(text_col), n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
-    b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
-    joined = cand.join(F.broadcast(a), "a_id").join(F.broadcast(b), "b_id")
+    cand_ids = (cand.select(F.col("a_id").alias(id_col))
+                    .union(cand.select(F.col("b_id").alias(id_col)))
+                    .distinct())
+    sh_c = sh.join(cand_ids, on=id_col, how="semi")
+    a = sh_c.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh_c.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
     sa, sb = F.size(F.col("a_sh")), F.size(F.col("b_sh"))
     joined = joined.where(
         F.least(sa, sb) >= F.lit(jaccard_threshold) * F.greatest(sa, sb))

@@ -34,10 +34,13 @@ def uniqueness_violations(df: DataFrame, keys: list[str],
     """All rows participating in a duplicated key (for the audit sink).
 
     Implemented as a window-free self-semi-join against the duplicate key
-    set (broadcast when small) — avoids a global sort.
+    set — avoids a global sort. No broadcast hint: duplicate-key
+    cardinality is unbounded (adversarial input: everything duplicated),
+    so the join strategy is left to AQE, which broadcasts only when the
+    measured build side is actually small.
     """
     dups = duplicate_keys(df, keys)
-    return df.join(F.broadcast(dups.select(*keys)), on=keys, how="semi") \
+    return df.join(dups.select(*keys), on=keys, how="semi") \
         .select(*(id_cols or df.columns))
 
 

@@ -71,9 +71,11 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
                                    F.col(vec_col).alias("q_vec")))
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).alias("n_vec"))
-    scored = (q.crossJoin(c.repartition(F.col("n_id")))
+    # parallelism from non-keyed split sizing only — a repartition on the
+    # id would shuffle the full corpus for no semantic benefit
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (q.crossJoin(c)
                .where(F.col("q_id") != F.col("n_id"))
                .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
@@ -99,25 +101,64 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
-             bits: int = 8, seed: int = 7, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             bits: int = 8, tables: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None, probe_dist: int = 1) -> DataFrame:
     """Approximate top-k: SRP-bucketed candidate join then exact rerank.
 
-    Recall improves with multi-probe (bucket hamming-neighbors) — v1
-    probes the exact bucket only; callers needing recall guarantees use
-    ``brute_force_topk`` on a blocked subset instead.
+    Recall amplification, both standard LSH levers:
+
+    * **L hash tables** (OR-amplification): the corpus is bucketed under
+      ``tables`` independent plane sets in ONE map stage (an inline
+      array → explode, no extra scans); a candidate matches if it shares
+      a bucket in ANY table. Recall = 1-(1-p^bits)^tables.
+    * **multi-probe**: each query additionally probes every bucket
+      within hamming distance ``probe_dist`` of its own (probe_dist=1 →
+      1+bits probes per table) — only the tiny query side is exploded.
+
+    Candidates are deduped on (q_id, n_id) before the exact cosine
+    rerank so each pair is scored once. ``dim`` should be passed
+    explicitly; inferring it costs a driver action, taken on the (small)
+    query side only.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = srp_planes(dim, bits, seed)
-    c = corpus.select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).alias("n_vec"),
-                      srp_bucket(F.col(vec_col), planes).alias("bucket"))
-    q = F.broadcast(queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), planes).alias("bucket")))
-    scored = (q.join(c, "bucket")
-               .where(F.col("q_id") != F.col("n_id"))
-               .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+    if dim is None:
+        # driver action on the small query relation, never the corpus
+        dim = len(queries.select(vec_col).first()[0])
+    plane_sets = [srp_planes(dim, bits, seed + 7919 * t)
+                  for t in range(tables)]
+
+    def buckets_expr(vec):
+        return F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     srp_bucket(vec, plane_sets[t]).alias("bucket"))
+            for t in range(tables)])
+
+    c = (ensure_min_partitions(corpus)
+         .select(F.col(id_col).alias("n_id"),
+                 F.col(vec_col).alias("n_vec"),
+                 F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
+         .select("n_id", "n_vec", F.col("tb.tbl").alias("tbl"),
+                 F.col("tb.bucket").alias("bucket")))
+    qb = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
+    if probe_dist >= 1:
+        probes = F.array_distinct(F.array(
+            F.col("tb.bucket"),
+            *[F.col("tb.bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+              for i in range(bits)]))
+    else:
+        probes = F.array(F.col("tb.bucket"))
+    q = F.broadcast(qb.select("q_id", "q_vec",
+                              F.col("tb.tbl").alias("tbl"),
+                              F.explode(probes).alias("bucket")))
+    cand = (q.join(c, ["tbl", "bucket"])
+             .where(F.col("q_id") != F.col("n_id"))
+             .groupBy("q_id", "n_id")
+             .agg(F.any_value(F.col("q_vec")).alias("q_vec"),
+                  F.any_value(F.col("n_vec")).alias("n_vec")))
+    scored = cand.withColumn(
+        "sim", cosine(F.col("q_vec"), F.col("n_vec")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)

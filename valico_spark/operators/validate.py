@@ -86,11 +86,11 @@ def validate_json_column(df: DataFrame, json_col: str, ruleset: Any,
             viols = []
             valids = []
             for doc in pdf[json_col]:
-                if doc is None:
-                    viols.append([])
-                    valids.append(True)
-                    continue
-                state = scope.validate(sid, json.loads(doc))
+                # a NULL document string validates as JSON null (the
+                # reference validates Value::Null → wrong_type for typed
+                # rulesets) — never silently valid
+                state = scope.validate(
+                    sid, None if doc is None else json.loads(doc))
                 viols.append([
                     {"code": e.code, "title": e.title, "path": e.path,
                      "detail": e.detail, "states": e.states}
@@ -130,13 +130,32 @@ def violation_rows(validated: DataFrame, id_cols: list[str]) -> DataFrame:
 
 
 def verdict_summary(validated: DataFrame) -> DataFrame:
-    """Single-pass aggregate: docs, valid docs, violation count by code."""
+    """Single-row, single-pass document-level aggregate:
+    (docs, valid_docs, total_violations). Counts documents — a doc with
+    3 violations contributes 1 to ``docs`` and 3 to ``total_violations``
+    (no explode, so the doc count can't be inflated)."""
+    return validated.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("valid_docs"),
+        F.sum(F.size("violations")).alias("total_violations"))
+
+
+def violation_counts_by_code(validated: DataFrame) -> DataFrame:
+    """Violation counts per error code: (code, n_violations, n_docs),
+    in ONE scan: each violation explodes with a first-occurrence flag
+    computed inside the array (array-level dedup — no global
+    count_distinct, no second pass over the input)."""
+    codes = F.transform(F.col("violations"), lambda v: v["code"])
+    entries = F.transform(
+        codes,
+        lambda c, i: F.struct(
+            c.alias("code"),
+            (F.array_position(codes, c) == i + 1).alias("first")))
     return (validated
-            .select(F.col("valid"),
-                    F.explode_outer("violations").alias("v"))
-            .agg(F.count(F.lit(1)).alias("rows"),
-                 F.sum(F.when(F.col("valid"), 1).otherwise(0))
-                  .alias("valid_rows")))
+            .select(F.explode(entries).alias("e"))
+            .groupBy(F.col("e.code").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n_violations"),
+                 F.sum(F.col("e.first").cast("long")).alias("n_docs")))
 
 
 def apply_defaults(df: DataFrame, ruleset: Any) -> DataFrame:
