@@ -166,6 +166,9 @@ def q_similarity_topk(spark, sf_dir):
 
 def q_validate_events_props(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # dynamic JSON on the VARIANT column plan (compiler.variantcolumns):
+    # parse_json + JVM type dispatch, zero Python per row; the walker is
+    # only the fallback for constructs the variant compiler rejects
     v = validate_json_column(ev.select("event_id", "props"), "props",
                              _EVENTS_PROPS_RULESET)
     return v.select("event_id", "valid")

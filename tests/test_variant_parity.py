@@ -1,0 +1,215 @@
+"""Variant (dynamic-JSON) column compiler vs reference-parity walker.
+
+Same core property as test_column_parity, for the VARIANT plan: the
+vectorized JVM expression over ``parse_json`` must agree with the Python
+walker document-by-document — same verdicts, same (code, path, detail)
+multisets — across a seeded fuzz corpus of schemas and documents that
+exercises runtime type dispatch (the part typed columns can't reach:
+per-row type surprises, JSON null vs missing, mixed arrays)."""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from valico_spark.compiler.columns import UnsupportedRule
+from valico_spark.compiler.pyvalidator import Scope
+from valico_spark.operators.validate import validate_json_column
+
+
+def _oracle(docs, ruleset):
+    scope = Scope()
+    sid = scope.compile(ruleset)
+    out = []
+    for doc in docs:
+        state = scope.validate(sid, None if doc is None else json.loads(doc))
+        out.append((state.is_valid(),
+                    sorted((e.code, e.path, e.detail or "")
+                           for e in state.errors)))
+    return out
+
+
+def _check(spark, docs, ruleset, force=True):
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, j string")
+    v = validate_json_column(df, "j", ruleset,
+                             mode="variant" if force else "auto")
+    got = v.orderBy("i").collect()
+    exp = _oracle(docs, ruleset)
+    for row, (exp_valid, exp_errs) in zip(got, exp):
+        got_errs = sorted((e["code"], e["path"], e["detail"] or "")
+                          for e in row["violations"])
+        assert row["valid"] == exp_valid, \
+            f"verdict mismatch: {docs[row['i']]!r}\n got {got_errs}\n exp {exp_errs}"
+        assert got_errs == exp_errs, \
+            f"violations mismatch: {docs[row['i']]!r}\n got {got_errs}\n exp {exp_errs}"
+
+
+MIXED_DOCS = [
+    None, "null", "5", "5.0", "5.5", '"abc"', "true", "[]", "{}",
+    '{"k": 5}', '{"k": 5.0}', '{"k": 5.5}', '{"k": "x"}', '{"k": null}',
+    '{"k": true}', '{"k": [1, 2]}', '{"k": {"a": 1}}',
+    '{"k": 101, "extra": 1}', '{"k": -3}', '{"k": 0}', '{"k": 100}',
+    '{"other": "y"}', '{"k": 1e2}', '{"k": 2.000001}',
+]
+
+
+class TestEventsShape:
+    RULESET = {"type": "object", "required": ["k"],
+               "properties": {"k": {"type": "integer",
+                                    "minimum": 0, "maximum": 100}}}
+
+    def test_parity(self, spark):
+        _check(spark, MIXED_DOCS, self.RULESET)
+
+
+class TestKeywords:
+    def test_string_keywords(self, spark):
+        rs = {"properties": {"s": {"type": "string", "minLength": 2,
+                                   "maxLength": 4, "pattern": "^a"}}}
+        docs = ['{"s": "a"}', '{"s": "ab"}', '{"s": "abcde"}',
+                '{"s": "xbc"}', '{"s": 5}', '{"s": null}', '{}',
+                '{"s": "aé☃"}']
+        _check(spark, docs, rs)
+
+    def test_enum_const(self, spark):
+        rs = {"properties": {"e": {"enum": ["a", 1, 2.5, True, None]},
+                             "c": {"const": 3}}}
+        docs = ['{"e": "a"}', '{"e": 1}', '{"e": 1.0}', '{"e": 2.5}',
+                '{"e": true}', '{"e": false}', '{"e": null}', '{"e": "b"}',
+                '{"c": 3}', '{"c": 3.0}', '{"c": 4}', '{"c": "3"}']
+        _check(spark, docs, rs)
+
+    def test_numeric_keywords(self, spark):
+        rs = {"properties": {"n": {"exclusiveMinimum": 0,
+                                   "exclusiveMaximum": 10,
+                                   "multipleOf": 0.5}}}
+        docs = ['{"n": 0}', '{"n": 0.5}', '{"n": 5}', '{"n": 9.5}',
+                '{"n": 10}', '{"n": 3.3}', '{"n": "x"}', '{"n": 2}']
+        _check(spark, docs, rs)
+
+    def test_object_shape(self, spark):
+        rs = {"type": "object", "required": ["a"],
+              "minProperties": 1, "maxProperties": 3,
+              "properties": {"a": {"type": "number"}},
+              "patternProperties": {"^x_": {"type": "string"}},
+              "additionalProperties": False}
+        docs = ['{}', '{"a": 1}', '{"a": "s"}', '{"a": 1, "x_b": "ok"}',
+                '{"a": 1, "x_b": 2}', '{"a": 1, "zz": 1}',
+                '{"a": 1, "b": 2, "c": 3, "d": 4}', '[1]', '"s"']
+        _check(spark, docs, rs)
+
+    def test_additional_properties_schema(self, spark):
+        rs = {"properties": {"a": {"type": "integer"}},
+              "additionalProperties": {"type": "string"}}
+        docs = ['{"a": 1, "b": "ok"}', '{"a": 1, "b": 2}',
+                '{"b": "x", "c": []}', '{}']
+        _check(spark, docs, rs)
+
+    def test_arrays(self, spark):
+        rs = {"properties": {"xs": {
+            "type": "array", "minItems": 1, "maxItems": 4,
+            "items": {"type": "integer", "minimum": 0},
+            "contains": {"type": "integer", "minimum": 5}}}}
+        docs = ['{"xs": []}', '{"xs": [1]}', '{"xs": [5]}',
+                '{"xs": [1, 2, 3, 4, 5]}', '{"xs": [1, "a"]}',
+                '{"xs": [-1, 7]}', '{"xs": 3}', '{"xs": [1.0, 6.0]}']
+        _check(spark, docs, rs)
+
+    def test_positional_items(self, spark):
+        rs = {"properties": {"t": {
+            "items": [{"type": "string"}, {"type": "integer"}],
+            "additionalItems": False}}}
+        docs = ['{"t": ["a", 1]}', '{"t": ["a"]}', '{"t": [1, "a"]}',
+                '{"t": ["a", 1, 2]}', '{"t": []}']
+        _check(spark, docs, rs)
+
+    def test_combinators(self, spark):
+        rs = {"properties": {"v": {
+            "anyOf": [{"type": "integer"}, {"type": "string",
+                                            "minLength": 3}],
+            "not": {"const": 13}}},
+            "if": {"required": ["v"]},
+            "then": {"required": ["w"]}}
+        docs = ['{"v": 5, "w": 1}', '{"v": 5}', '{"v": "abc", "w": 1}',
+                '{"v": "ab", "w": 1}', '{"v": 13, "w": 1}',
+                '{"v": 2.5, "w": 1}', '{}']
+        _check(spark, docs, rs)
+
+    def test_one_of_and_ref(self, spark):
+        rs = {"definitions": {"pos": {"type": "number",
+                                      "exclusiveMinimum": 0}},
+              "properties": {"p": {"$ref": "#/definitions/pos"},
+                             "q": {"oneOf": [{"type": "integer"},
+                                             {"minimum": 10}]}}}
+        docs = ['{"p": 1}', '{"p": -1}', '{"p": "x"}',
+                '{"q": 5}', '{"q": 10.5}', '{"q": 12}', '{"q": 9.5}']
+        _check(spark, docs, rs)
+
+    def test_dependencies(self, spark):
+        rs = {"dependencies": {"a": ["b"],
+                               "c": {"required": ["d"]}}}
+        docs = ['{}', '{"a": 1}', '{"a": 1, "b": 1}', '{"c": 1}',
+                '{"c": 1, "d": 1}', '{"b": 1}']
+        _check(spark, docs, rs)
+
+
+class TestUnsupportedFallsBack:
+    def test_unique_items_raises_then_auto_falls_back(self, spark):
+        rs = {"properties": {"xs": {"uniqueItems": True}}}
+        df = spark.createDataFrame([('{"xs": [1, 1]}',)], "j string")
+        with pytest.raises(UnsupportedRule):
+            validate_json_column(df, "j", rs, mode="variant")
+        out = validate_json_column(df, "j", rs, mode="auto").collect()
+        assert out[0]["valid"] is False
+
+
+def _rand_doc(rnd: random.Random):
+    def val(depth=0):
+        kinds = ["int", "float", "str", "bool", "null"]
+        if depth < 2:
+            kinds += ["obj", "arr"]
+        k = rnd.choice(kinds)
+        if k == "int":
+            return rnd.randint(-20, 120)
+        if k == "float":
+            return round(rnd.uniform(-5, 110), rnd.randint(0, 2))
+        if k == "str":
+            return "".join(rnd.choice("abxyz_ ") for _ in
+                           range(rnd.randint(0, 6)))
+        if k == "bool":
+            return rnd.random() < 0.5
+        if k == "null":
+            return None
+        if k == "arr":
+            return [val(depth + 1) for _ in range(rnd.randint(0, 4))]
+        return {kk: val(depth + 1)
+                for kk in rnd.sample(["k", "s", "n", "x_a", "zz"],
+                                     rnd.randint(0, 4))}
+    return json.dumps(val())
+
+
+FUZZ_RULESET = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {
+        "k": {"type": ["integer", "string"], "minimum": 0, "maximum": 100,
+              "minLength": 1, "maxLength": 5},
+        "s": {"anyOf": [{"type": "string", "pattern": "a"},
+                        {"type": "number", "multipleOf": 2}]},
+        "n": {"type": "number", "exclusiveMaximum": 50},
+    },
+    "patternProperties": {"^x_": {"type": ["array", "null"],
+                                  "items": {"type": "integer"},
+                                  "maxItems": 3}},
+    "additionalProperties": {"type": ["object", "boolean"],
+                             "minProperties": 1},
+}
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_variant_vs_walker(spark, seed):
+    rnd = random.Random(seed)
+    docs = [_rand_doc(rnd) for _ in range(300)]
+    _check(spark, docs, FUZZ_RULESET)

@@ -60,8 +60,35 @@ def _validate_arrow(df: DataFrame, ruleset: Any, version: int) -> DataFrame:
 
 
 def validate_json_column(df: DataFrame, json_col: str, ruleset: Any,
-                         version: int = DRAFT7) -> DataFrame:
+                         version: int = DRAFT7,
+                         mode: str = "auto") -> DataFrame:
     """Validate a column of JSON documents with full reference semantics.
+
+    ``mode='auto'`` (default) first tries the VARIANT column plan
+    (``compiler.variantcolumns``): parse_json + vectorized JVM predicates,
+    zero Python per row — the serving path for dynamic JSON. Constructs
+    the variant compiler rejects (``unevaluated*``, composite enum/const,
+    exotic formats, recursion) fall back to the Arrow-batched
+    reference-parity walker. ``mode='variant'`` forces the column plan
+    (raises UnsupportedRule), ``mode='arrow'`` forces the walker.
+    """
+    if mode in ("auto", "variant"):
+        from valico_spark.compiler.variantcolumns import compile_json_ruleset
+
+        try:
+            viol = compile_json_ruleset(ruleset, F.col(json_col),
+                                        version=version)
+            out = df.withColumn("violations", viol)
+            return out.withColumn("valid", F.size("violations") == 0)
+        except UnsupportedRule:
+            if mode == "variant":
+                raise
+    return _validate_json_arrow(df, json_col, ruleset, version)
+
+
+def _validate_json_arrow(df: DataFrame, json_col: str, ruleset: Any,
+                         version: int = DRAFT7) -> DataFrame:
+    """Arrow-batched walker fallback for dynamic JSON.
 
     The schema compiles once per executor (module-level cache keyed by the
     ruleset text); per-batch work is a tight loop over the Arrow-delivered

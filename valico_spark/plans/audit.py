@@ -6,17 +6,23 @@ audit trail. Design:
 * work is sharded into ``n_buckets`` deterministic hash buckets of the
   document key (``pmod(xxhash64(key), n)``) — bucket ≙ the unit of
   checkpointing (partition granularity, not Structured Streaming);
-* each bucket's outputs are appended to the audit directory as parquet
-  (``violations/`` and ``metrics/``), then a manifest row is written —
-  the COMMIT POINT; a crash between data and manifest re-processes one
-  bucket (idempotent: outputs are overwritten per-bucket subdir);
+* buckets are processed in **batches**: ONE scan + ONE evaluation of the
+  validation plan per batch writes ``validated/bucket=N`` (id cols +
+  verdict + violations array) via dynamic partition overwrite; metrics
+  are then derived by re-reading the (small) written parquet — the
+  expensive plan is never evaluated twice, and the number of full-input
+  scans is ``pending/batch_size`` instead of ``n_buckets``;
+* after the batch write succeeds, a manifest row per bucket is the
+  COMMIT POINT; a crash between data and manifest re-processes at most
+  one batch (idempotent: dynamic overwrite replaces the bucket subdirs);
 * resume = read the manifest, anti-join against the full bucket list,
   process only the pending ones;
 * per-bucket metrics rows (docs, valid docs, violation count, wall time)
   are the lineage record the judge-facing BASELINE protocol asks for.
 
-On a real cluster the bucket filter prunes via bucketed table layout or
-partition values; at local scale it is a predicate on the scan.
+On a real cluster the bucket predicate prunes via bucketed table layout
+or partition values; at local scale it is a predicate on the scan, and
+``batch_size`` bounds how many times that scan runs.
 """
 
 from __future__ import annotations
@@ -64,43 +70,65 @@ class AuditRun:
             json.dump(metrics, f)
         os.replace(tmp, path)  # atomic commit point
 
+    def _validated_dir(self) -> str:
+        return os.path.join(self.audit_dir, self.run_id, "validated")
+
     def run(self, docs: DataFrame, key_col: str,
             process: Callable[[DataFrame], DataFrame],
-            id_cols: list[str] | None = None) -> list[dict]:
+            id_cols: list[str] | None = None,
+            batch_size: int = 4) -> list[dict]:
         """Process every pending bucket; returns the metrics rows.
 
         ``process`` maps a docs-subset DataFrame to a validated frame with
         ``valid``/``violations`` columns (e.g. ``validate_dataframe``).
+        The validation plan is evaluated exactly ONCE per batch (the
+        parquet write); per-bucket metrics aggregate the written output.
         """
-        from valico_spark.operators.validate import violation_rows
-
         id_cols = id_cols or [key_col]
         bucket_expr = F.pmod(F.xxhash64(F.col(key_col)),
                              F.lit(self.n_buckets))
         all_metrics = []
-        for bucket in self.pending_buckets():
+        pending = self.pending_buckets()
+        for i in range(0, len(pending), max(batch_size, 1)):
+            batch = pending[i:i + max(batch_size, 1)]
             t0 = time.time()
-            subset = docs.where(bucket_expr == bucket)
+            subset = docs.where(bucket_expr.isin(batch))
             validated = process(subset)
-            agg = validated.agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(F.when(F.col("valid"), 1).otherwise(0))
-                 .alias("valid_docs"),
-                F.sum(F.size("violations")).alias("violations")).collect()[0]
-            rows = violation_rows(validated, id_cols)
-            rows.write.mode("overwrite").parquet(
-                self._bucket_dir("violations", bucket))
-            metrics = {
-                "run_id": self.run_id,
-                "bucket": bucket,
-                "docs": agg["docs"],
-                "valid_docs": agg["valid_docs"] or 0,
-                "violations": int(agg["violations"] or 0),
-                "wall_sec": round(time.time() - t0, 3),
-                "committed_at": time.time(),
-            }
-            self._commit(bucket, metrics)
-            all_metrics.append(metrics)
+            out = validated.select(
+                *id_cols, "valid", "violations",
+                F.pmod(F.xxhash64(F.col(key_col)),
+                       F.lit(self.n_buckets)).alias("bucket"))
+            # dynamic overwrite: only the buckets in this batch are
+            # replaced — idempotent re-processing after a crash
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket").parquet(self._validated_dir()))
+            wall = round(time.time() - t0, 3)
+            # metrics from the written parquet (tiny re-read, pruned to
+            # this batch's partitions) — never a second plan evaluation
+            agg_rows = (self.spark.read.parquet(self._validated_dir())
+                        .where(F.col("bucket").isin(batch))
+                        .groupBy("bucket")
+                        .agg(F.count(F.lit(1)).alias("docs"),
+                             F.sum(F.when(F.col("valid"), 1).otherwise(0))
+                              .alias("valid_docs"),
+                             F.sum(F.size("violations"))
+                              .alias("violations"))
+                        .collect())
+            by_bucket = {r["bucket"]: r for r in agg_rows}
+            for bucket in batch:
+                r = by_bucket.get(bucket)
+                metrics = {
+                    "run_id": self.run_id,
+                    "bucket": bucket,
+                    "docs": r["docs"] if r else 0,
+                    "valid_docs": (r["valid_docs"] or 0) if r else 0,
+                    "violations": int(r["violations"] or 0) if r else 0,
+                    "wall_sec": wall,
+                    "committed_at": time.time(),
+                }
+                self._commit(bucket, metrics)
+                all_metrics.append(metrics)
         return all_metrics
 
     def metrics(self) -> list[dict]:
@@ -111,7 +139,21 @@ class AuditRun:
                     out.append(json.load(f))
         return out
 
+    def validated(self) -> DataFrame:
+        """The materialized per-document audit table (id cols, valid,
+        violations array, bucket)."""
+        return self.spark.read.parquet(self._validated_dir())
+
     def violations(self) -> DataFrame:
-        return self.spark.read.option("basePath", os.path.join(
-            self.audit_dir, self.run_id, "violations")).parquet(
-            os.path.join(self.audit_dir, self.run_id, "violations"))
+        """Exploded violation rows, derived on read from the validated
+        table (the array form on disk is more compact; exploding is a
+        zero-shuffle map)."""
+        v = self.validated()
+        keep = [c for c in v.columns if c not in ("valid", "violations")]
+        return (v.where(~F.col("valid"))
+                 .select(*keep, F.explode("violations").alias("v"))
+                 .select(*keep,
+                         F.col("v.code").alias("code"),
+                         F.col("v.title").alias("title"),
+                         F.col("v.path").alias("path"),
+                         F.col("v.detail").alias("detail")))
