@@ -25,7 +25,7 @@ def _oracle_results(rows_json, ruleset):
     for doc in rows_json:
         state = scope.validate(sid, json.loads(doc))
         out.append((state.is_valid(),
-                    sorted((e.code, e.path, e.detail or "")
+                    sorted((e.code, e.path, e.detail or "", e.states or "")
                            for e in state.errors)))
     return out
 
@@ -42,7 +42,8 @@ def _check_parity(df, ruleset, id_col):
     for row, (exp_valid, exp_errs) in zip(got, expected):
         assert row["valid"] == exp_valid, (
             f"verdict mismatch for {row[id_col]}: {row['doc_json'][:200]}")
-        got_errs = sorted((v["code"], v["path"], v["detail"] or "")
+        got_errs = sorted((v["code"], v["path"], v["detail"] or "",
+                           v["states"] or "")
                           for v in row["violations"])
         assert got_errs == exp_errs, (
             f"violations mismatch for {row[id_col]}:\n got {got_errs}\n "

@@ -25,7 +25,7 @@ def _oracle(docs, ruleset):
     for doc in docs:
         state = scope.validate(sid, None if doc is None else json.loads(doc))
         out.append((state.is_valid(),
-                    sorted((e.code, e.path, e.detail or "")
+                    sorted((e.code, e.path, e.detail or "", e.states or "")
                            for e in state.errors)))
     return out
 
@@ -38,7 +38,8 @@ def _check(spark, docs, ruleset, force=True):
     got = v.orderBy("i").collect()
     exp = _oracle(docs, ruleset)
     for row, (exp_valid, exp_errs) in zip(got, exp):
-        got_errs = sorted((e["code"], e["path"], e["detail"] or "")
+        got_errs = sorted((e["code"], e["path"], e["detail"] or "",
+                           e["states"] or "")
                           for e in row["violations"])
         assert row["valid"] == exp_valid, \
             f"verdict mismatch: {docs[row['i']]!r}\n got {got_errs}\n exp {exp_errs}"
@@ -145,6 +146,18 @@ class TestKeywords:
                                              {"minimum": 10}]}}}
         docs = ['{"p": 1}', '{"p": -1}', '{"p": "x"}',
                 '{"q": 5}', '{"q": 10.5}', '{"q": 12}', '{"q": 9.5}']
+        _check(spark, docs, rs)
+
+    def test_nested_states_byte_parity(self, spark):
+        """any_of containing one_of: the nested states payload (a JSON
+        string embedded inside the outer states) must be byte-equal
+        between walker and column plan at every nesting depth."""
+        rs = {"properties": {"v": {
+            "anyOf": [{"type": "string"},
+                      {"oneOf": [{"type": "integer", "minimum": 10},
+                                 {"type": "number", "maximum": 1}]}]}}}
+        docs = ['{"v": "ok"}', '{"v": 5}', '{"v": 0.5}', '{"v": 15}',
+                '{"v": true}', '{"v": 0}', '{"v": [1]}']
         _check(spark, docs, rs)
 
     def test_dependencies(self, spark):

@@ -84,6 +84,21 @@ def _concat(arrays: list[Column]) -> Column:
     return F.concat(*arrays)
 
 
+def _states_json(sub_viols: list[Column]) -> Column:
+    """The nested ``states`` payload of any_of/one_of errors, byte-equal
+    to the walker's serde-shaped serialization (errors.rs:154-172;
+    common/error.rs:88-121): a JSON array of the FAILING substates only,
+    each ``{"errors": [...], "missing": []}``, error keys in
+    code/title/path/detail/states order with absent (NULL) detail/states
+    dropped — exactly ``to_json``'s struct rendering."""
+    entries = [F.struct(sv.alias("errors"),
+                        F.array().cast("array<string>").alias("missing"))
+               for sv in sub_viols]
+    failing = F.filter(F.array(*entries),
+                       lambda s: F.size(s["errors"]) != 0)
+    return F.to_json(failing)
+
+
 @dataclass
 class Target:
     """The value a subschema is applied to."""
@@ -1111,10 +1126,8 @@ class ColumnCompiler:
         for sv in sub_viols:
             ok = F.size(sv) == 0
             any_ok = ok if any_ok is None else (any_ok | ok)
-        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
-                                     for sv in sub_viols]))
         return _maybe(~any_ok, make_violation("any_of", t.path,
-                                              states=states))
+                                              states=_states_json(sub_viols)))
 
     def _one_of(self, subs: list, t: Target, depth: int) -> Column:
         sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
@@ -1122,10 +1135,8 @@ class ColumnCompiler:
         for sv in sub_viols:
             ok_int = F.when(F.size(sv) == 0, 1).otherwise(0)
             count = ok_int if count is None else (count + ok_int)
-        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
-                                     for sv in sub_viols]))
         return _maybe(count != 1, make_violation("one_of", t.path,
-                                                 states=states))
+                                                 states=_states_json(sub_viols)))
 
     def _not(self, sub: Any, t: Target, depth: int) -> Column:
         sub_viol = self._node(sub, t, depth + 1)

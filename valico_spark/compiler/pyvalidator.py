@@ -692,7 +692,12 @@ class AllOfV:
 
 
 def _serialize_states(states: list[ValidationState]) -> str:
-    return json.dumps([s.serialize() for s in states], sort_keys=True)
+    # serde_json bytes: insertion key order ({"errors": [...], "missing":
+    # [...]}, error keys code/title/path/detail/states —
+    # common/error.rs:88-121), compact separators, raw UTF-8. The column
+    # compilers (_states_json) emit the identical bytes via to_json.
+    return json.dumps([s.serialize() for s in states],
+                      separators=(",", ":"), ensure_ascii=False)
 
 
 class AnyOfV:

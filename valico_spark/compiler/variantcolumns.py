@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from valico_spark.compiler.columns import (
     ColumnCompiler, UnsupportedRule, empty_violations, make_violation,
-    _concat, _maybe,
+    _concat, _maybe, _states_json,
 )
 from valico_spark.compiler.pyvalidator import (
     DRAFT2019, DRAFT7, EPSILON, PRIMITIVE_TYPES, is_number,
@@ -552,10 +552,8 @@ class VariantCompiler:
         for sv in sub_viols:
             ok = F.size(sv) == 0
             any_ok = ok if any_ok is None else (any_ok | ok)
-        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
-                                     for sv in sub_viols]))
         return _maybe(~any_ok, make_violation("any_of", t.path,
-                                              states=states))
+                                              states=_states_json(sub_viols)))
 
     def _one_of(self, subs: list, t: VTarget, depth: int) -> Column:
         sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
@@ -563,10 +561,8 @@ class VariantCompiler:
         for sv in sub_viols:
             ok_int = F.when(F.size(sv) == 0, 1).otherwise(0)
             count = ok_int if count is None else (count + ok_int)
-        states = F.to_json(F.array(*[F.struct(sv.alias("errors"))
-                                     for sv in sub_viols]))
         return _maybe(count != 1, make_violation("one_of", t.path,
-                                                 states=states))
+                                                 states=_states_json(sub_viols)))
 
 
 def compile_json_ruleset(schema: Any, json_col: Column,
