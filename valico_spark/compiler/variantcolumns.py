@@ -133,6 +133,23 @@ _TYPE_PRED = {
 }
 
 
+#: violation code marking "this document reaches past the compiled
+#: recursion unroll — re-validate it on the walker". Never user-visible:
+#: validate_json_column splits marked rows out before returning.
+NEEDS_WALKER = "__needs_walker__"
+
+
+def _marker_violation(path: Column) -> Column:
+    return F.struct(
+        F.lit(NEEDS_WALKER).alias("code"), F.lit("").alias("title"),
+        path.alias("path"), F.lit(None).cast("string").alias("detail"),
+        F.lit(None).cast("string").alias("states"))
+
+
+def has_walker_marker(violations: Column) -> Column:
+    return F.exists(violations, lambda v: v["code"] == NEEDS_WALKER)
+
+
 class VariantCompiler:
     """Compiles one ruleset against a variant-typed target.
 
@@ -140,13 +157,57 @@ class VariantCompiler:
     the emitted expression tree is pure built-in functions (variant
     extractors, higher-order array/map functions), whole-stage-codegen
     eligible, no shuffle.
+
+    Recursive ``$ref`` story (SURVEY §7 hard-part 2): with
+    ``residual_marker=True`` (the ``validate_json_column`` default),
+    recursion is unrolled to ``unroll_depth``; at the cut point the plan
+    emits a ``NEEDS_WALKER`` marker violation whenever a value actually
+    exists that deep, and the operator routes ONLY those documents to the
+    Arrow walker. Linear self-recursion (one ``$ref`` site per level —
+    linked-list / tree-node schemas) unrolls cheaply; schemas whose
+    inlining fans out (the meta-schema has ~15 recursion sites per level,
+    exponential) exhaust ``ref_budget`` early and cut to the marker at
+    whatever prefix fit — still correct, just a larger walker residual.
     """
 
     _MAX_REF_DEPTH = 24
 
-    def __init__(self, version: int = DRAFT7, root_schema: Any = None):
+    def __init__(self, version: int = DRAFT7, root_schema: Any = None,
+                 residual_marker: bool = False, unroll_depth: int = 16,
+                 ref_budget: int = 512):
         self.version = version
         self.root_schema = root_schema
+        self.residual_marker = residual_marker
+        self.unroll_depth = min(unroll_depth, self._MAX_REF_DEPTH)
+        self.ref_budget = ref_budget
+        self._refs_inlined = 0
+        self._marker_sites = 0
+        self.used_marker = False
+
+    def _cut(self, t: VTarget, why: str) -> Column:
+        """Recursion/budget cutoff: marker when allowed, else refuse."""
+        if not self.residual_marker:
+            raise UnsupportedRule(why)
+        self.used_marker = True
+        self._marker_sites += 1
+        return _maybe(t.col.isNotNull(), _marker_violation(t.path))
+
+    def _lift_marker(self, sub_viols: list[Column], result: Column,
+                     t: VTarget) -> Column:
+        """Marker propagation invariant: combinators whose verdict logic
+        INVERTS or COUNTS sub-validity (not / oneOf / anyOf / if) would
+        otherwise swallow a cut-point marker buried in a failing branch
+        — and then serve a verdict computed from an incomplete plan.
+        Whenever any sub-plan emitted a marker for this row, surface the
+        marker as this node's sole output; by induction a marker is
+        always visible in the TOP-LEVEL violations array, which is what
+        the operator's walker-rerouting predicate checks."""
+        any_m = None
+        for sv in sub_viols:
+            e = has_walker_marker(sv)
+            any_m = e if any_m is None else (any_m | e)
+        return F.when(any_m, F.array(_marker_violation(t.path))) \
+                .otherwise(result)
 
     # $ref resolution shares the pointer-walking logic of the typed
     # compiler (compile-time inlining, SURVEY.md §2.4)
@@ -156,8 +217,8 @@ class VariantCompiler:
         return self._node(schema, target, depth=0)
 
     def _node(self, schema: Any, t: VTarget, depth: int) -> Column:
-        if depth > self._MAX_REF_DEPTH:
-            raise UnsupportedRule("recursive $ref beyond inlining depth")
+        if depth > self.unroll_depth:
+            return self._cut(t, "recursive $ref beyond inlining depth")
         if schema is True:
             schema = {}
         elif schema is False:
@@ -166,14 +227,21 @@ class VariantCompiler:
             raise UnsupportedRule("schema must be an object or boolean")
 
         if "$ref" in schema and self.version < DRAFT2019:
+            self._refs_inlined += 1
+            if self._refs_inlined > self.ref_budget:
+                return self._cut(t, "$ref inlining budget exhausted")
             return self._node(self._resolve_ref(schema["$ref"]), t,
                               depth + 1)
 
         parts: list[Column] = []
         s, d = schema, depth
         if "$ref" in s:
-            parts.append(self._node(self._resolve_ref(s["$ref"]), t,
-                                    depth + 1))
+            self._refs_inlined += 1
+            if self._refs_inlined > self.ref_budget:
+                parts.append(self._cut(t, "$ref inlining budget exhausted"))
+            else:
+                parts.append(self._node(self._resolve_ref(s["$ref"]), t,
+                                        depth + 1))
         if "type" in s:
             parts.append(self._type(s["type"], t))
         if "enum" in s:
@@ -227,16 +295,24 @@ class VariantCompiler:
         if "oneOf" in s:
             parts.append(self._one_of(s["oneOf"], t, d))
         if "not" in s:
+            m0 = self._marker_sites
             sub_viol = self._node(s["not"], t, d + 1)
-            parts.append(_maybe(F.size(sub_viol) == 0,
-                                make_violation("not", t.path)))
+            res = _maybe(F.size(sub_viol) == 0,
+                         make_violation("not", t.path))
+            if self._marker_sites > m0:
+                res = self._lift_marker([sub_viol], res, t)
+            parts.append(res)
         if "if" in s:
-            if_ok = F.size(self._node(s["if"], t, d + 1)) == 0
+            m0 = self._marker_sites
+            if_v = self._node(s["if"], t, d + 1)
             then_v = (self._node(s["then"], t, d + 1)
                       if "then" in s else empty_violations())
             else_v = (self._node(s["else"], t, d + 1)
                       if "else" in s else empty_violations())
-            parts.append(F.when(if_ok, then_v).otherwise(else_v))
+            res = F.when(F.size(if_v) == 0, then_v).otherwise(else_v)
+            if self._marker_sites > m0:
+                res = self._lift_marker([if_v, then_v, else_v], res, t)
+            parts.append(res)
         if "unevaluatedProperties" in s and self.version >= DRAFT2019:
             raise UnsupportedRule("unevaluatedProperties on dynamic JSON")
         if "unevaluatedItems" in s and self.version >= DRAFT2019:
@@ -527,6 +603,7 @@ class VariantCompiler:
             child = VTarget(x, F.lit(""))
             return F.size(self._node(sub, child, depth + 1)) == 0
 
+        m0 = self._marker_sites
         parts = []
         if min_c is None and max_c is None:
             parts.append(_maybe(is_arr & ~F.exists(arr, ok_elem),
@@ -544,38 +621,60 @@ class VariantCompiler:
                 parts.append(_maybe(
                     is_arr & (matched < F.lit(int(min_c))),
                     make_violation("min_contains/max_contains", t.path)))
-        return _concat(parts)
+        res = _concat(parts)
+        if self._marker_sites > m0:
+            # per-element markers invert ok_elem — lift when any element
+            # plan hit a cut point
+            elem_marker = F.exists(arr, lambda x: has_walker_marker(
+                self._node(sub, VTarget(x, F.lit("")), depth + 1)))
+            res = F.when(is_arr & elem_marker,
+                         F.array(_marker_violation(t.path))).otherwise(res)
+        return res
 
     def _any_of(self, subs: list, t: VTarget, depth: int) -> Column:
+        m0 = self._marker_sites
         sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
         any_ok = None
         for sv in sub_viols:
             ok = F.size(sv) == 0
             any_ok = ok if any_ok is None else (any_ok | ok)
-        return _maybe(~any_ok, make_violation("any_of", t.path,
-                                              states=_states_json(sub_viols)))
+        res = _maybe(~any_ok, make_violation(
+            "any_of", t.path, states=_states_json(sub_viols)))
+        if self._marker_sites > m0:
+            res = self._lift_marker(sub_viols, res, t)
+        return res
 
     def _one_of(self, subs: list, t: VTarget, depth: int) -> Column:
+        m0 = self._marker_sites
         sub_viols = [self._node(sub, t, depth + 1) for sub in subs]
         count = None
         for sv in sub_viols:
             ok_int = F.when(F.size(sv) == 0, 1).otherwise(0)
             count = ok_int if count is None else (count + ok_int)
-        return _maybe(count != 1, make_violation("one_of", t.path,
-                                                 states=_states_json(sub_viols)))
+        res = _maybe(count != 1, make_violation(
+            "one_of", t.path, states=_states_json(sub_viols)))
+        if self._marker_sites > m0:
+            res = self._lift_marker(sub_viols, res, t)
+        return res
 
 
 def compile_json_ruleset(schema: Any, json_col: Column,
-                         version: int = DRAFT7) -> Column:
+                         version: int = DRAFT7,
+                         residual_marker: bool = False,
+                         ) -> tuple[Column, "VariantCompiler"]:
     """Compile ``schema`` against a column of raw JSON document strings.
 
-    Returns the violations-array Column. A SQL-NULL document string
-    validates as JSON ``null`` (the walker's contract: never silently
-    valid). Malformed JSON also parses to null here — callers needing a
-    parse-error distinction should pre-filter with ``try_parse_json``.
+    Returns (violations-array Column, the compiler — whose
+    ``used_marker`` tells the caller whether any row may carry a
+    ``NEEDS_WALKER`` marker needing rerouting). A SQL-NULL document
+    string validates as JSON ``null`` (the walker's contract: never
+    silently valid). Malformed JSON also parses to null here — callers
+    needing a parse-error distinction should pre-filter with
+    ``try_parse_json``.
     """
     v = F.coalesce(F.try_parse_json(json_col),
                    F.parse_json(F.lit("null")))
     target = VTarget(col=v, path=F.lit(""))
-    return VariantCompiler(version=version, root_schema=schema
-                           ).compile(schema, target)
+    compiler = VariantCompiler(version=version, root_schema=schema,
+                               residual_marker=residual_marker)
+    return compiler.compile(schema, target), compiler

@@ -73,13 +73,27 @@ def validate_json_column(df: DataFrame, json_col: str, ruleset: Any,
     (raises UnsupportedRule), ``mode='arrow'`` forces the walker.
     """
     if mode in ("auto", "variant"):
-        from valico_spark.compiler.variantcolumns import compile_json_ruleset
+        from valico_spark.compiler.variantcolumns import (
+            compile_json_ruleset, has_walker_marker,
+        )
 
         try:
-            viol = compile_json_ruleset(ruleset, F.col(json_col),
-                                        version=version)
+            viol, compiler = compile_json_ruleset(
+                ruleset, F.col(json_col), version=version,
+                residual_marker=(mode == "auto"))
             out = df.withColumn("violations", viol)
-            return out.withColumn("valid", F.size("violations") == 0)
+            if not compiler.used_marker:
+                return out.withColumn("valid", F.size("violations") == 0)
+            # recursion unrolled to a finite depth: documents that reach
+            # past the cut carry a NEEDS_WALKER marker — reroute ONLY
+            # those to the Arrow walker; shallow documents (the common
+            # case) stay on the column plan
+            marked = has_walker_marker(F.col("violations"))
+            fast = (out.where(~marked)
+                       .withColumn("valid", F.size("violations") == 0))
+            deep = out.where(marked).drop("violations")
+            slow = _validate_json_arrow(deep, json_col, ruleset, version)
+            return fast.unionByName(slow)
         except UnsupportedRule:
             if mode == "variant":
                 raise
