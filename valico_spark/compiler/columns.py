@@ -777,8 +777,9 @@ class ColumnCompiler:
             return empty_violations()  # unknown → ignored (format.rs:172-175)
         ok = t.col.rlike(regex)
         # date: reject impossible month/day values the regex admits
+        # (try_to_date: NULL instead of an ANSI parse exception)
         if name == "date":
-            ok = ok & F.to_date(t.col, "yyyy-MM-dd").isNotNull()
+            ok = ok & F.try_to_date(t.col, "yyyy-MM-dd").isNotNull()
         if name == "time":
             ok = ok & (F.substring(t.col, 1, 2).cast("int") <= 23) \
                     & (F.substring(t.col, 4, 2).cast("int") <= 59) \

@@ -52,9 +52,13 @@ def url_join(base: str, ref: str) -> str:
 
 
 def split_fragment(url: str) -> tuple[str, str | None]:
+    """Fragments stay percent-ENCODED, like the Rust url crate's
+    ``Url::fragment()`` — tree keys are stored encoded (``encode``), so
+    resolution compares encoded-to-encoded. Unquoting here broke lookups
+    for keys containing percent-encoded characters (e.g. newlines)."""
     if "#" in url:
         base, frag = url.split("#", 1)
-        return base, urllib.parse.unquote(frag)
+        return base, frag
     return url, None
 
 

@@ -423,7 +423,7 @@ class VariantCompiler:
         sv = _str(t.col)
         ok = sv.rlike(regex)
         if name == "date":
-            ok = ok & F.to_date(sv, "yyyy-MM-dd").isNotNull()
+            ok = ok & F.try_to_date(sv, "yyyy-MM-dd").isNotNull()
         if name == "time":
             ok = ok & (F.substring(sv, 1, 2).cast("int") <= 23) \
                     & (F.substring(sv, 4, 2).cast("int") <= 59) \
