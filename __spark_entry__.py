@@ -174,6 +174,54 @@ def q_validate_events_props(spark, sf_dir):
     return v.select("event_id", "valid")
 
 
+def q_dsl_coerce_orders(spark, sf_dir):
+    """DSL coercion stage (json_dsl coercers.rs semantics) compiled to
+    JVM casts: f64 parse, i64 strict-digits parse (always fails on the
+    status letters), boolean literal-'true'/'false' only (case-sensitive
+    — 'TRUE' fails, coercers.rs:156-184)."""
+    from valico_spark.operators import dsl_process
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("price_s"),
+        F.col("o_orderstatus").alias("flag_s"),
+        F.when(F.col("o_orderkey") % 3 == 0, "true")
+         .when(F.col("o_orderkey") % 3 == 1, "false")
+         .otherwise("TRUE").alias("bool_s"))
+    out = dsl_process.coerce_columns(
+        o, {"price_s": "f64", "flag_s": "i64", "bool_s": "boolean"})
+    return out.select(
+        "o_orderkey",
+        F.col("price_s").alias("price_d"),
+        F.col("flag_s").cast("long").alias("flag_i"),
+        F.col("bool_s").alias("bool_b"),
+        F.size("coerce_violations").cast("long").alias("n_coerce_errors"))
+
+
+def q_uniqueness_rows_events(spark, sf_dir):
+    """All rows participating in a duplicated (user_id, event_type) key —
+    the audit-sink shape of the uniqueness check (AQE-chosen join, no
+    unconditional broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    rows = relational.uniqueness_violations(
+        ev, ["user_id", "event_type"], ["event_id"])
+    return rows.select(F.col("event_id"))
+
+
+def q_docs_meta_violation_rows(spark, sf_dir):
+    """Dynamic-JSON violation ROWS on the VARIANT column plan (forced —
+    no walker): exercises per-violation code/path construction for
+    enum / maximum / wrong_type over parse_json'd documents."""
+    docs = _t(spark, sf_dir, "documents")
+    j = docs.select("doc_id",
+                    F.to_json(F.struct("lang", "n_chars")).alias("meta"))
+    rs = {"type": "object", "required": ["lang", "n_chars"],
+          "properties": {"lang": {"enum": ["en", "de", "fr"]},
+                         "n_chars": {"type": "integer", "maximum": 400}}}
+    v = validate_json_column(j, "meta", rs, mode="variant")
+    return violation_rows(v, ["doc_id"]).select("doc_id", "code", "path")
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # 5-gram shingles, 32 hashes, 4 bands x 8 rows (s-curve threshold
@@ -279,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "similarity_topk": q_similarity_topk,
         "validate_events_props": q_validate_events_props,
+        "dsl_coerce_orders": q_dsl_coerce_orders,
+        "uniqueness_rows_events": q_uniqueness_rows_events,
+        "docs_meta_violation_rows": q_docs_meta_violation_rows,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -584,6 +635,39 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
 
+        # DSL coercers (coercers.rs): f64 via strict float grammar (the
+        # string was produced from the double, so it always re-parses to
+        # the same value), i64 digits-only (status letters always fail),
+        # boolean only literal 'true'/'false' ('TRUE' fails)
+        "dsl_coerce_orders": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_d,
+                   CAST(NULL AS BIGINT) AS flag_i,
+                   CASE WHEN o_orderkey % 3 = 0 THEN true
+                        WHEN o_orderkey % 3 = 1 THEN false
+                        ELSE NULL END AS bool_b,
+                   (1 + CASE WHEN o_orderkey % 3 IN (0, 1) THEN 0 ELSE 1
+                        END)::BIGINT AS n_coerce_errors
+            FROM orders
+        """,
+        "uniqueness_rows_events": """
+            SELECT event_id FROM events
+            QUALIFY count(*) OVER (PARTITION BY user_id, event_type) > 1
+        """,
+        "docs_meta_violation_rows": """
+            SELECT doc_id, 'enum' AS code, '/lang' AS path
+            FROM documents
+            WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+            UNION ALL
+            SELECT doc_id, 'maximum', '/n_chars'
+            FROM documents WHERE n_chars > 400
+            UNION ALL
+            SELECT doc_id, 'required', '/lang'
+            FROM documents WHERE lang IS NULL
+            UNION ALL
+            SELECT doc_id, 'required', '/n_chars'
+            FROM documents WHERE n_chars IS NULL
+        """,
         "validate_customer": """
             SELECT c_custkey,
                    ((CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)

@@ -169,10 +169,18 @@ def main() -> None:
     # absolute throughput ceiling.
     validation = {}
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        tb, pb, fb, n = _scaling_run(f"local[{SCALE_BASE}]", docs_path,
-                                     media_path)
-        ts, ps, fs, _ = _scaling_run(f"local[{SCALE_BIG}]", docs_path,
-                                     media_path)
+        # interleaved pairs (base, big, base, big), best per level: the
+        # two levels run in separate fresh JVMs minutes apart on a shared
+        # VM, so drift (page cache, turbo, co-tenants) biases a single
+        # sequential pair; interleaving and taking the per-level best
+        # compares like-for-like machine states
+        runs = {SCALE_BASE: [], SCALE_BIG: []}
+        for _ in range(int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))):
+            for lvl in (SCALE_BASE, SCALE_BIG):
+                runs[lvl].append(_scaling_run(f"local[{lvl}]", docs_path,
+                                              media_path))
+        tb, pb, fb, n = min(runs[SCALE_BASE], key=lambda r: r[0])
+        ts, ps, fs, _ = min(runs[SCALE_BIG], key=lambda r: r[0])
         ratio = int(SCALE_BIG) // int(SCALE_BASE)
         rb, rs = n / tb, n / ts
         # compute-only: wall minus the measured per-action planning
@@ -202,6 +210,10 @@ def main() -> None:
     from valico_spark.session import get_spark
 
     spark = get_spark("bench_queries", master=f"local[{CPUS}]")
+    # warm the session once (scheduler, codegen, parquet footer caches) so
+    # the first measured query isn't charged ~4s of one-time startup —
+    # every query then reports steady-state cost
+    _sink(spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(10_000))
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()

@@ -224,3 +224,50 @@ def test_unevaluated_items_static_vs_walker(spark, seed):
                 f"got={got}\nexp={exp}")
         checked += 1
     assert checked >= 20, checked
+
+
+MAP_TYPE = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("m", T.MapType(T.StringType(), T.DoubleType()), True),
+])
+
+
+def gen_map_row(rnd, rid):
+    keys = rnd.sample(FIELDS + ["zz", "s_y"], rnd.randint(0, 4))
+    return (rid, {k: rnd.choice([0.0, 1.0, 2.5, 5.0]) for k in keys})
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_unevaluated_open_map_vs_walker(spark, seed):
+    """unevaluatedProperties over MapType (open keys): the per-entry
+    runtime evaluated predicate must reproduce the walker's verdicts and
+    (code, path) multisets — same fuzz grammar as the struct test."""
+    from valico_spark.operators.validate import validate_column
+
+    rnd = random.Random(seed)
+    rows = [gen_map_row(rnd, i) for i in range(80)]
+    df = spark.createDataFrame(rows, MAP_TYPE)
+    json_rows = {r["id"]: r["doc"] for r in df.select(
+        "id", F.to_json(F.col("m")).alias("doc")).collect()}
+
+    checked = 0
+    for k in range(30):
+        ruleset = gen_root(rnd)
+        try:
+            v = validate_column(df, "m", ruleset, version=DRAFT2019)
+        except UnsupportedRule:
+            continue
+        out = v.select("id", "violations").collect()
+        scope = Scope(version=DRAFT2019)
+        sid = scope.compile(ruleset)
+        for r in out:
+            doc = json.loads(json_rows[r["id"]] or "null")
+            state = scope.validate(sid, doc)
+            exp = sorted((e.code, e.path) for e in state.errors)
+            got = sorted((x["code"], x["path"]) for x in r["violations"])
+            assert got == exp, (
+                f"seed={seed} ruleset#{k} id={r['id']}\n"
+                f"ruleset={json.dumps(ruleset)}\ndoc={doc}\n"
+                f"got={got}\nexp={exp}")
+        checked += 1
+    assert checked >= 20, checked

@@ -518,14 +518,125 @@ class ColumnCompiler:
                       F.flatten(F.transform(idx_ev, emit))
                       ).otherwise(empty_violations())
 
+    def _entry_evaluated(self, s: dict, t: Target, depth: int,
+                         key: Column, val: Column) -> Column:
+        """Runtime 'is this map entry evaluated?' boolean — the open-map
+        analogue of ``_evaluated_keys`` (keys are dynamic, so property
+        matching happens per entry: equality for ``properties``, rlike
+        for ``patternProperties``), with the same success-conditioned
+        marking and combinator merge rules as the walker's evaluated-set
+        semantics (validators/properties.rs:52-56, of.rs:94-110)."""
+        if not isinstance(s, dict):
+            s = {} if s is True else {"not": {}}
+        vtype = t.dtype.valueType
+
+        def sub_ok(sub) -> Column:
+            child = Target(val, vtype, F.lit(""))
+            return F.size(self._node(sub, child, depth + 1)) == 0
+
+        def branch_valid(sub) -> Column:
+            return F.size(self._node(sub, t, depth + 1)) == 0
+
+        for kw in ("unevaluatedProperties", "unevaluatedItems"):
+            for sub in s.get("allOf", []) + s.get("anyOf", []) \
+                    + s.get("oneOf", []):
+                if isinstance(sub, dict) and kw in sub:
+                    raise UnsupportedRule(f"nested {kw} in combinator")
+
+        conds: list[Column] = []
+        if "$ref" in s:
+            conds.append(self._entry_evaluated(
+                self._resolve_ref(s["$ref"]), t, depth + 1, key, val))
+            if self.version < DRAFT2019:
+                return conds[0]
+        props = s.get("properties", {})
+        patterns = s.get("patternProperties", {})
+        additional = s.get("additionalProperties")
+        for k, sub in props.items():
+            conds.append((key == F.lit(k)) & sub_ok(sub))
+        for pat, psub in patterns.items():
+            conds.append(key.rlike(pat) & sub_ok(psub))
+        if additional is not None:
+            is_known = F.lit(False)
+            if props:
+                is_known = is_known | key.isin(list(props))
+            for pat in patterns:
+                is_known = is_known | key.rlike(pat)
+            if additional is True:
+                conds.append(~is_known)
+            elif additional is not False:
+                conds.append(~is_known & sub_ok(additional))
+        for sub in s.get("allOf", []):
+            conds.append(self._entry_evaluated(sub, t, depth + 1,
+                                               key, val))
+        for sub in s.get("anyOf", []):
+            conds.append(branch_valid(sub)
+                         & self._entry_evaluated(sub, t, depth + 1,
+                                                 key, val))
+        if "oneOf" in s:
+            count = None
+            for sub in s["oneOf"]:
+                x = F.when(branch_valid(sub), 1).otherwise(0)
+                count = x if count is None else (count + x)
+            for sub in s["oneOf"]:
+                conds.append((count == 1) & branch_valid(sub)
+                             & self._entry_evaluated(sub, t, depth + 1,
+                                                     key, val))
+        if "if" in s:
+            ivalid = branch_valid(s["if"])
+            conds.append(ivalid & self._entry_evaluated(
+                s["if"], t, depth + 1, key, val))
+            if "then" in s:
+                conds.append(ivalid & self._entry_evaluated(
+                    s["then"], t, depth + 1, key, val))
+            if "else" in s:
+                conds.append(~ivalid & self._entry_evaluated(
+                    s["else"], t, depth + 1, key, val))
+        deps = dict(s.get("dependencies", {}))
+        deps.update(s.get("dependentSchemas", {}))
+        for trig, dsub in deps.items():
+            if isinstance(dsub, (dict, bool)):
+                trig_present = F.map_contains_key(t.col, F.lit(trig))
+                conds.append(trig_present & self._entry_evaluated(
+                    dsub, t, depth + 1, key, val))
+        out = F.lit(False)
+        for c in conds:
+            out = out | c
+        return out
+
+    def _unevaluated_properties_map(self, s: dict, t: Target,
+                                    depth: int) -> Column:
+        spec = s["unevaluatedProperties"]
+        if spec is True:
+            return empty_violations()
+        rest = {k: v for k, v in s.items()
+                if k != "unevaluatedProperties"}
+        vtype = t.dtype.valueType
+
+        def emit(e: Column) -> Column:
+            ev = self._entry_evaluated(rest, t, depth, e["key"], e["value"])
+            path = F.concat(t.path, F.lit("/"), e["key"])
+            if spec is False:
+                return F.when(~ev, F.array(make_violation(
+                    "unevaluated", path,
+                    F.lit("Unevaluated properties are not allowed")))
+                ).otherwise(empty_violations())
+            child = Target(e["value"], vtype, path)
+            return F.when(~ev, self._node(spec, child, depth + 1)) \
+                    .otherwise(empty_violations())
+
+        return F.when(
+            t.col.isNotNull(),
+            F.flatten(F.transform(F.map_entries(t.col), lambda e: emit(e)))
+        ).otherwise(empty_violations())
+
     def _unevaluated_properties(self, s: dict, t: Target,
                                 depth: int) -> Column:
         if not isinstance(t.dtype, T.StructType):
             if t.dtype is None:
                 raise UnsupportedRule("unevaluatedProperties on untyped")
             if isinstance(t.dtype, T.MapType):
-                raise UnsupportedRule(
-                    "unevaluatedProperties on open maps needs the walker")
+                return self._unevaluated_properties_map(s, t, depth)
             return empty_violations()
         spec = s["unevaluatedProperties"]
         rest = {k: v for k, v in s.items() if k != "unevaluatedProperties"}

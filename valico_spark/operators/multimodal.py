@@ -61,37 +61,48 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def byte_histogram_features(df: DataFrame, payload_col: str = "payload",
                             id_col: str = "media_ref",
                             bins: int = 16) -> DataFrame:
-    """Arrow-batched feature extraction: 16-bin byte histogram + entropy
-    per payload. Vectorized numpy over each Arrow batch — the same shape
-    a real decode/feature stage has (mapInPandas, batch in, batch out)."""
+    """Arrow-native feature extraction: 16-bin byte histogram + entropy
+    per payload, with NO per-row Python. ``mapInArrow`` exposes the
+    binary column's flattened (offsets, data) buffers; the whole batch is
+    one numpy segment computation — bincount over
+    ``segment_id * bins + nibble`` then a reshaped vectorized entropy."""
     import numpy as np
-    import pandas as pd  # noqa: F401
+    import pyarrow as pa
 
     out_schema = (f"{id_col} string, n_bytes long, entropy double, "
                   f"histogram array<double>")
 
-    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-        for pdf in batches:
-            ids, n_bytes, ent, hists = [], [], [], []
-            for ref, payload in zip(pdf[id_col], pdf[payload_col]):
-                ids.append(ref)
-                if payload is None:
-                    n_bytes.append(0)
-                    ent.append(0.0)
-                    hists.append([0.0] * bins)
-                    continue
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                n_bytes.append(len(arr))
-                hist = np.bincount(arr >> 4, minlength=bins).astype(float)
-                p = hist / max(hist.sum(), 1.0)
-                nz = p[p > 0]
-                ent.append(float(-(nz * np.log2(nz)).sum()))
-                hists.append((p * bins).tolist())
-            yield pd.DataFrame({id_col: ids, "n_bytes": n_bytes,
-                                "entropy": ent, "histogram": hists})
+    def extract(batches: Iterator["pa.RecordBatch"]
+                ) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n = len(col)
+            # NULL payloads become empty segments (0 bytes, entropy 0)
+            col = pc.fill_null(col.cast(pa.large_binary()), b"")
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset: col.offset + n + 1]
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            lens = np.diff(offs)
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            buf = data[offs[0]: offs[-1]]
+            seg_bins = seg * bins + (buf >> 4)
+            hist = np.bincount(seg_bins, minlength=n * bins) \
+                     .reshape(n, bins).astype(np.float64)
+            tot = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+            p = hist / tot
+            logs = np.zeros_like(p)
+            np.log2(p, out=logs, where=p > 0)
+            ent = -(p * logs).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(lens, pa.int64()), pa.array(ent),
+                 pa.FixedSizeListArray.from_arrays(
+                     pa.array((p * bins).ravel()), bins).cast(
+                     pa.list_(pa.float64()))],
+                names=[id_col, "n_bytes", "entropy", "histogram"])
 
-    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+    return df.select(id_col, payload_col).mapInArrow(extract, out_schema)
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload",
