@@ -222,6 +222,19 @@ def q_docs_meta_violation_rows(spark, sf_dir):
     return violation_rows(v, ["doc_id"]).select("doc_id", "code", "path")
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k on the SRP-LSH path (L tables + multi-probe).
+    Rows-only check: the seeded-numpy projection planes are not
+    reproducible in DuckDB SQL; recall vs brute force is pinned in
+    tests/test_dedup_similarity.py instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(emb, queries, k=10, bits=4, tables=4)
+    return out.select("q_id", "n_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      F.round("sim", 4).alias("sim_r"))
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # 5-gram shingles, 32 hashes, 4 bands x 8 rows (s-curve threshold
@@ -330,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_coerce_orders": q_dsl_coerce_orders,
         "uniqueness_rows_events": q_uniqueness_rows_events,
         "docs_meta_violation_rows": q_docs_meta_violation_rows,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

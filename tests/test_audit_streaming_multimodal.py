@@ -132,3 +132,36 @@ class TestMultimodal:
         again = decode_image(media_payloads.limit(20)).collect()
         assert [r["pixels"][:5] for r in out] == \
                [r["pixels"][:5] for r in again]
+
+
+class TestStreamingDedup:
+    def test_dedup_stream_drops_duplicates(self, spark, tmp_path):
+        import time as _time
+
+        from valico_spark.streaming.validate_stream import dedup_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        df = spark.createDataFrame(
+            [(1, "k1", "2024-01-01 10:00:00"),
+             (2, "k2", "2024-01-01 10:00:01"),
+             (3, "k1", "2024-01-01 10:00:02"),   # duplicate key
+             (4, "k3", "2024-01-01 10:00:03")],
+            "event_id long, key string, ts_s string"
+        ).select("event_id", "key",
+                 F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.parquet(str(src / "batch1"))
+        stream = (spark.readStream.schema(df.schema)
+                  .parquet(str(src / "*")))
+        deduped = dedup_stream(stream, ["key"], "ts")
+        q = (deduped.writeStream.format("memory")
+             .queryName("dedup_sink")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("SELECT key FROM dedup_sink").collect()
+        keys = sorted(r["key"] for r in got)
+        assert keys == ["k1", "k2", "k3"]

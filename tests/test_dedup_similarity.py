@@ -131,3 +131,21 @@ class TestVerdictSummary:
         assert rows["maximum"].n_docs == 3
         assert rows["required"].n_violations == 1
         assert rows["required"].n_docs == 1
+
+
+class TestSrpBlocking:
+    def test_block_bits_pairs_are_valid_subset(self, embeddings):
+        dim = len(embeddings.select("embedding").first()[0])
+        blocked = similarity.all_pairs_above(
+            embeddings, 0.30, block_bits=4, dim=dim)
+        got = blocked.collect()
+        assert all(r.sim >= 0.30 for r in got)
+        full = {(r.a_id, r.b_id)
+                for r in similarity.all_pairs_above(embeddings, 0.30,
+                                                    block_col="label"
+                                                    ).collect()}
+        # SRP blocking finds a non-trivial, threshold-true set; its
+        # output columns match the unblocked operator's
+        assert {(r.a_id, r.b_id) for r in got} and \
+            set(blocked.columns) == {"a_id", "b_id", "sim"}
+        assert full  # sanity: the label-blocked baseline is non-empty

@@ -91,3 +91,23 @@ class TestCli:
         run = AuditRun(spark, str(tmp_path / "audit"), "t1", n_buckets=3)
         assert run.pending_buckets() == []
         assert sum(m["docs"] for m in run.metrics()) == 500
+
+
+class TestCsvCoerced:
+    def test_read_csv_coerced(self, spark, tmp_path):
+        from valico_spark.sources.jsonl import read_csv_coerced
+
+        p = tmp_path / "in.csv"
+        p.write_text("a,b,c\n1,2.5,true\nx,NOPE,TRUE\n+42,.5,false\n")
+        out = read_csv_coerced(spark, str(p),
+                               {"a": "i64", "b": "f64", "c": "boolean"})
+        rows = sorted(out.collect(), key=lambda r: (r["a"] is None, r["a"]))
+        ok = [r for r in rows if r["a"] == 1][0]
+        assert ok["b"] == 2.5 and ok["c"] is True
+        assert not ok["coerce_violations"]
+        bad = [r for r in rows if r["a"] is None][0]
+        assert bad["b"] is None and bad["c"] is None
+        assert len(bad["coerce_violations"]) == 3
+        assert {v["code"] for v in bad["coerce_violations"]} == {"wrong_type"}
+        plus = [r for r in rows if r["a"] == 42][0]
+        assert plus["b"] == 0.5 and plus["c"] is False

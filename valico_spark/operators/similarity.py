@@ -39,14 +39,29 @@ def cosine(a: Column, b: Column) -> Column:
 def all_pairs_above(df: DataFrame, threshold: float,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    block_col: str | None = None) -> DataFrame:
+                    block_col: str | None = None,
+                    block_bits: int | None = None,
+                    dim: int | None = None, seed: int = 7) -> DataFrame:
     """All (a,b) pairs with cosine ≥ threshold, a.id < b.id.
 
     ``block_col`` restricts comparisons to equal blocking keys (e.g. an
     LSH bucket or label) — at scale this is what bounds the join; without
     it the operator is quadratic and only suitable for sampled tiers.
+    Alternatively pass ``block_bits``+``dim`` to derive the blocking key
+    from an SRP-LSH bucket of the vector itself (the 100 TB path when no
+    natural blocking column exists): recall is bounded by bucket
+    collisions of true pairs — near-dups (cosine >= 0.9) agree per bit
+    with p ~ 0.9, so 8 bits keeps ~43%% per table; callers needing higher
+    recall union several seeds.
     """
     df = ensure_min_partitions(df)
+    if block_col is None and block_bits is not None:
+        if dim is None:
+            raise ValueError("block_bits requires dim")
+        planes = srp_planes(dim, block_bits, seed)
+        df = df.withColumn("__srp_blk",
+                           srp_bucket(F.col(vec_col), planes))
+        block_col = "__srp_blk"
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
                   *( [F.col(block_col).alias("__blk")] if block_col else []))

@@ -26,6 +26,22 @@ def read_json_documents(spark: SparkSession, path: str,
                     F.col("value").alias(doc_col)))
 
 
+def read_csv_coerced(spark: SparkSession, path: str,
+                     specs: dict[str, str],
+                     header: bool = True) -> DataFrame:
+    """CSV ingestion typed by the DSL coercion stage: every column reads
+    as a raw string (no permissive Spark inference), then
+    ``coerce_columns`` applies the reference's coercer grammars
+    (json_dsl/coercers.rs — strict digit/float/boolean-literal parses)
+    producing typed columns + ``coerce_violations`` rows. The DSL is the
+    typing authority; malformed cells become NULL + an audit row instead
+    of silently skewing an inferred schema."""
+    from valico_spark.operators.dsl_process import coerce_columns
+
+    raw = spark.read.option("header", str(header).lower()).csv(path)
+    return coerce_columns(raw, specs)
+
+
 def read_json_typed(spark: SparkSession, path: str,
                     schema: T.StructType | None = None) -> DataFrame:
     """Schema-on-read typed documents — the column-compiler path.

@@ -43,6 +43,18 @@ def windowed_violation_counts(validated: DataFrame, time_col: str,
                     F.col("w.end").alias("window_end"), "code", "n"))
 
 
+def dedup_stream(stream_df: DataFrame, keys: list[str], time_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within the
+    watermark horizon. ``dropDuplicatesWithinWatermark`` bounds the state
+    store (keys older than the watermark are evicted), which is what
+    makes this viable on an unbounded 100 TB/day feed — an unbounded
+    ``dropDuplicates`` would grow state forever."""
+    return (stream_df
+            .withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def stream_docs_validation(spark, docs_dir: str, ruleset: Any,
                            checkpoint_dir: str, out_table: str):
     """File-source streaming pipeline: watch ``docs_dir`` for parquet,
