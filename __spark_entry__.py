@@ -222,6 +222,60 @@ def q_docs_meta_violation_rows(spark, sf_dir):
     return violation_rows(v, ["doc_id"]).select("doc_id", "code", "path")
 
 
+def q_agg_rollup_orders(spark, sf_dir):
+    """Grouping-sets aggregation (SURVEY §2.7 checklist: absent from the
+    reference, core to the engine): ROLLUP over (status, priority) in one
+    Expand+HashAggregate — no per-level re-scans."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                         .cast("long")).alias("sum_price_cents"))
+             .select("o_orderstatus", "o_orderpriority", "n_orders",
+                     "sum_price_cents"))
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """Window top-k (sorts/limits/top-k checklist): top-3 orders by price
+    per customer; partial top-k runs map-side inside WindowGroupLimit
+    before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rk", F.row_number().over(w))
+             .where(F.col("rk") <= 3)
+             .select("o_custkey", "o_orderkey",
+                     F.col("rk").cast("long").alias("rk")))
+
+
+def q_set_ops_customers(spark, sf_dir):
+    """Set operations (checklist): INTERSECT = customers with orders,
+    EXCEPT = customers without. Both compile to aggregated semi/anti
+    hash joins — no global sort."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    active = c.intersect(o).select("k", F.lit("active").alias("segment"))
+    inactive = c.exceptAll(c.intersect(o)).distinct() \
+                .select("k", F.lit("inactive").alias("segment"))
+    return active.unionByName(inactive)
+
+
+def q_date_math_orders(spark, sf_dir):
+    """Date/time scalar expression language (checklist): truncation,
+    extraction, day arithmetic — all codegen'd builtins."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.to_date(F.lit("2026-01-01")),
+                   F.to_date("o_orderdate")).cast("long").alias("age_days"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k on the SRP-LSH path (L tables + multi-probe).
     Rows-only check: the seeded-numpy projection planes are not
@@ -344,6 +398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_rows_events": q_uniqueness_rows_events,
         "docs_meta_violation_rows": q_docs_meta_violation_rows,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "agg_rollup_orders": q_agg_rollup_orders,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "set_ops_customers": q_set_ops_customers,
+        "date_math_orders": q_date_math_orders,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -681,6 +739,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'required', '/n_chars'
             FROM documents WHERE n_chars IS NULL
+        """,
+        "agg_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   sum(cast(round(o_totalprice * 100) AS BIGINT))
+                     AS sum_price_cents
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey ASC)::BIGINT
+                     AS rk
+            FROM orders
+            QUALIFY rk <= 3
+        """,
+        "set_ops_customers": """
+            SELECT k, 'active' AS segment FROM (
+              SELECT c_custkey AS k FROM customer
+              INTERSECT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT k, 'inactive' FROM (
+              SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey FROM orders)
+        """,
+        "date_math_orders": """
+            SELECT o_orderkey,
+                   year(o_orderdate)::BIGINT AS yr,
+                   quarter(o_orderdate)::BIGINT AS qtr,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                     AS month_start,
+                   datediff('day', CAST(o_orderdate AS DATE),
+                            DATE '2026-01-01')::BIGINT AS age_days,
+                   (dayofweek(o_orderdate) + 1)::BIGINT AS dow
+            FROM orders
         """,
         "validate_customer": """
             SELECT c_custkey,
