@@ -113,6 +113,17 @@ def q_drift_chisq_event_type(spark, sf_dir):
                     F.round(contrib, 6).alias("chi2_contrib"))
 
 
+def q_drift_psi_event_type(spark, sf_dir):
+    """Population Stability Index per category (even vs odd event split):
+    the standard production drift metric; shuffle = cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    out = drift.psi_table(a, b, "event_type")
+    return out.select(F.col("cat").alias("event_type"), "n_a", "n_b",
+                      F.round("psi_contrib", 8).alias("psi_r"))
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = text_ops.token_stats(docs)
@@ -402,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "set_ops_customers": q_set_ops_customers,
         "date_math_orders": q_date_math_orders,
+        "drift_psi_event_type": q_drift_psi_event_type,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -574,6 +586,23 @@ def oracle_sql() -> dict[str, str]:
                           + count(l_extendedprice))
                          / (2.0*count(l_extendedprice))) / 1000.0
             FROM lineitem
+        """,
+        "drift_psi_event_type": """
+            WITH a AS (SELECT event_type AS cat, count(*) AS n_a FROM events
+                       WHERE event_id % 2 = 0 GROUP BY 1),
+                 b AS (SELECT event_type AS cat, count(*) AS n_b FROM events
+                       WHERE event_id % 2 = 1 GROUP BY 1),
+                 j AS (SELECT coalesce(a.cat, b.cat) AS cat,
+                              coalesce(n_a, 0)::BIGINT AS n_a,
+                              coalesce(n_b, 0)::BIGINT AS n_b
+                       FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+                 t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+            SELECT cat AS event_type, n_a, n_b,
+                   round(((n_a + 0.5) / (ta + 0.5)
+                          - (n_b + 0.5) / (tb + 0.5))
+                         * ln(((n_a + 0.5) / (ta + 0.5))
+                              / ((n_b + 0.5) / (tb + 0.5))), 8) AS psi_r
+            FROM j, t
         """,
         "drift_chisq_event_type": """
             WITH a AS (SELECT event_type, count(*) AS n_a FROM events

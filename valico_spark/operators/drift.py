@@ -132,3 +132,34 @@ def drift_report(current: DataFrame, reference: DataFrame,
         out.append({"column": c, "kind": "ks",
                     "statistic": d, "drifted": d > ks_threshold})
     return out
+
+
+def psi_table(a: DataFrame, b: DataFrame, value_col: str,
+              smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index per category:
+    PSI_cat = (p_a - p_b) * ln(p_a / p_b), summed over categories.
+
+    The production drift metric for categorical features. Same scale
+    shape as chi_square: two map-side-combined groupBy aggregations
+    joined on the category — shuffle size = cardinality, never rows.
+    ``smoothing`` is a Haldane-style pseudo-count so categories absent
+    from one side stay finite. Returns one row per category
+    (cat, n_a, n_b, p_a, p_b, psi_contrib); sum(psi_contrib) is the PSI.
+    """
+    ca = a.groupBy(F.col(value_col).alias("cat")) \
+          .agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(F.col(value_col).alias("cat")) \
+          .agg(F.count(F.lit(1)).alias("n_b"))
+    j = ca.join(cb, "cat", "full_outer").fillna(0, ["n_a", "n_b"])
+    # single-row totals broadcast back via a cross join (tiny), keeping
+    # the whole computation one job with no driver collect
+    totals = j.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    j = j.crossJoin(F.broadcast(totals))
+    pa = (F.col("n_a") + F.lit(smoothing)) \
+        / (F.col("ta") + F.lit(smoothing))
+    pb = (F.col("n_b") + F.lit(smoothing)) \
+        / (F.col("tb") + F.lit(smoothing))
+    return j.select(
+        "cat", "n_a", "n_b",
+        pa.alias("p_a"), pb.alias("p_b"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_contrib"))
