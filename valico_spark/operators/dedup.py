@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from valico_spark.operators.util import ensure_min_partitions
 
-MERSENNE61 = (1 << 61) - 1
+#: modulus of the MinHash permutation family. MUST be small relative to
+#: a*h (a, h < 2^31 → a*h ~ 2^62): with a 31-bit prime the product wraps
+#: ~2^31 times and the affine map mixes properly. A 61-bit modulus here
+#: wraps AT MOST ONCE, leaving ~half the "permutations" (a < p/2^31)
+#: fully monotonic in h — their minima all select the same globally
+#: minimal shingle, so signature rows correlate across permutations and
+#: whole bands collide for any documents sharing common vocabulary
+#: (observed: 1500-doc mega-buckets → 2.7M candidate pairs from 5k docs).
+MERSENNE31 = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str],
@@ -86,8 +94,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
 def _minhash_params(num_hashes: int, seed: int = 17) -> list[tuple[int, int]]:
     import random
     rnd = random.Random(seed)
-    return [(rnd.randrange(1, MERSENNE61 - 1),
-             rnd.randrange(0, MERSENNE61 - 1)) for _ in range(num_hashes)]
+    return [(rnd.randrange(1, MERSENNE31 - 1),
+             rnd.randrange(0, MERSENNE31 - 1)) for _ in range(num_hashes)]
 
 
 def _minhash_ab(num_hashes: int, seed: int) -> Column:
@@ -116,13 +124,13 @@ def minhash_signature_from_base(base: Column, num_hashes: int = 32,
     array<long> accumulator, zip_with against the permutation constants.
     h_i(s) = (a_i * h + b_i) mod M61; signature[i] = min over shingles."""
     ab = _minhash_ab(num_hashes, seed)
-    init = F.array_repeat(F.lit(MERSENNE61).cast("long"), num_hashes)
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
     return F.aggregate(
         base, init,
         lambda acc, h: F.zip_with(
             acc, ab,
             lambda m, c: F.least(
-                m, F.pmod(h * c["a"] + c["b"], F.lit(MERSENNE61)))))
+                m, F.pmod(h * c["a"] + c["b"], F.lit(MERSENNE31)))))
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, n: int = 5,
