@@ -220,25 +220,28 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
 def simhash(text: Column, bits: int = 64) -> Column:
     """Bitwise-majority SimHash over whitespace tokens (long column).
 
-    acc[i] += sign of bit i of xxhash64(token); signature bit i = acc[i]>0.
-    One aggregate over the token array with an int-array accumulator —
-    no explode, no shuffle.
+    acc[i] counts ones of bit i over xxhash64(token); signature bit i is
+    set when ones form a strict majority (equivalent to the ±1-sum > 0
+    formulation: sum = 2*ones - n). One aggregate over the token array
+    with an int-array accumulator — pure shift/mask arithmetic per
+    token (no 64-way CASE WHEN), no explode, no shuffle.
     """
     from valico_spark.operators.text import tokens
 
     toks = tokens(text)
     zero = F.array_repeat(F.lit(0), bits)
-    def bit_signs(t):
+
+    def bit_ones(t):
         # shiftright needs a python-int count → unroll over fixed bits
         h = F.xxhash64(t)
         return F.array(*[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-             .otherwise(F.lit(-1))
+            F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
             for i in range(bits)])
 
     acc = F.aggregate(
         toks, zero,
-        lambda a, t: F.zip_with(a, bit_signs(t), lambda x, y: x + y))
+        lambda a, t: F.zip_with(a, bit_ones(t), lambda x, y: x + y))
+    n = F.size(toks)
     # precomputed bit values (bit 63 = long min) — shiftleft needs a
     # python int count, so inline the literals instead
     bitvals = F.array(*[
@@ -246,7 +249,8 @@ def simhash(text: Column, bits: int = 64) -> Column:
         for i in range(bits)])
     weighted = F.zip_with(
         acc, bitvals,
-        lambda a, bv: F.when(a > 0, bv).otherwise(F.lit(0).cast("long")))
+        lambda ones, bv: F.when(ones * 2 > n, bv)
+                          .otherwise(F.lit(0).cast("long")))
     return F.aggregate(weighted, F.lit(0).cast("long"),
                        lambda a, x: a.bitwiseOR(x))
 
