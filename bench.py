@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS = int(os.environ.get("BENCH_DOCS", "3000000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "2000000"))
 SCALE_BASE = os.environ.get("BENCH_SCALE_BASE", "2")
 SCALE_BIG = os.environ.get("BENCH_SCALE_BIG", "8")
 
@@ -102,9 +102,12 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
         "spark.sql.adaptive.enabled": "false",
         # the violations expression codegens into huge methods; without
         # these the JIT skips them and runs interpreted (4-20x slower,
-        # high variance)
+        # high variance). ParallelGC: the validate stage allocates a
+        # violations array per row — throughput-oriented GC beats G1's
+        # latency bias here and scales better with threads
         "spark.driver.extraJavaOptions":
-            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g"
+            " -XX:+UseParallelGC",
     })
     spark.sparkContext.setLogLevel("ERROR")
     import pyarrow.parquet as pq
@@ -125,7 +128,7 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
     plan = _build_validate_stage(spark, docs_path)
     _sink(plan)
     v_times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         _sink(plan)
         v_times.append(time.time() - t0)

@@ -48,6 +48,15 @@ def fixture_dir(n_docs: int = 20_000, seed: int = 42) -> str:
                       n_media=max(1000, n_docs // 20), seed=seed)
         with open(marker, "w") as f:
             f.write("ok")
+    empty = os.path.join(out, "docs_empty.parquet")
+    if not os.path.exists(empty):
+        # zero-row same-schema probe (bench planning-overhead measure) —
+        # backfill for fixture dirs written before it existed
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(
+            os.path.join(out, "docs.parquet")).schema_arrow
+        pq.write_table(schema.empty_table(), empty)
     return out
 
 
