@@ -102,3 +102,39 @@ class TestSchemaBuilder:
                 "n": {"type": "integer", "minimum": 0}}}
         assert validate_json(ruleset, {"doc_id": "p1", "n": 2}).is_valid()
         assert not validate_json(ruleset, {"n": -1}).is_valid()
+
+
+class TestEncodedArrayTyped:
+    def test_encoded_array_i64(self, spark):
+        from valico_spark.operators.dsl_process import coerce_columns
+
+        df = spark.createDataFrame(
+            [("1,2,3",), ("4,x,6",), (None,), ("",)], "xs string")
+        out = coerce_columns(df, {"xs": ("encoded_array", ",", "i64")})
+        rows = out.collect()
+        by = {tuple(r["xs"]) if r["xs"] is not None else None:
+              r["coerce_violations"] for r in rows}
+        assert (1, 2, 3) in by and not by[(1, 2, 3)]
+        assert (4, None, 6) in by
+        v = by[(4, None, 6)]
+        assert len(v) == 1 and v[0]["code"] == "wrong_type"
+        assert v[0]["path"] == "/xs/1"
+        assert None in by and not by[None]  # NULL input passes through
+
+    def test_encoded_array_matches_walker_paths(self, spark):
+        """Per-element error paths match the reference's
+        {path}/{idx} contract (dsl coercers.rs:292-302)."""
+        from valico_spark.compiler import dsl
+        from valico_spark.operators.dsl_process import coerce_columns
+
+        coercer = dsl.encoded_array_of(",", dsl.i64())
+        try:
+            coercer.coerce("4,x,6", "/xs")
+            raise AssertionError("walker should have raised")
+        except dsl.CoerceError as e:
+            walker_paths = [v.path for v in e.errors]
+        df = spark.createDataFrame([("4,x,6",)], "xs string")
+        out = coerce_columns(df, {"xs": ("encoded_array", ",", "i64")})
+        got_paths = [v["path"]
+                     for v in out.collect()[0]["coerce_violations"]]
+        assert got_paths == walker_paths

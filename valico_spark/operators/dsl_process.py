@@ -108,19 +108,64 @@ COERCE_SPECS = {
 }
 
 
-def coerce_columns(df: DataFrame, specs: dict[str, str],
+def _dsl_violation_dyn(code: str, path: Column, detail: str) -> Column:
+    """Violation struct with a runtime path (per-element array errors)."""
+    return F.struct(
+        F.lit(code).alias("code"), F.lit(DSL_TITLES[code]).alias("title"),
+        path.alias("path"), F.lit(detail).alias("detail"),
+        F.lit(None).cast("string").alias("states"))
+
+
+def coerce_columns(df: DataFrame, specs: dict,
                    violations_col: str = "coerce_violations") -> DataFrame:
-    """Typed DSL cast stage: ``specs`` maps column name -> coercer name.
+    """Typed DSL cast stage: ``specs`` maps column name -> coercer name,
+    or ``("encoded_array", separator, inner_name)`` for the reference's
+    ``encoded_array_of`` (coercers.rs:230-245,292-302): split on the
+    LITERAL separator, per-element sub-coercion with ``/{col}/{idx}``
+    error paths.
 
     Each string column is replaced by its coerced value (NULL on
-    failure) and a violation row is appended for failures — the
-    table-scale equivalent of the DSL's mutate-on-read contract.
+    failure — for arrays, per-element NULL) and violation rows are
+    appended for failures — the table-scale equivalent of the DSL's
+    mutate-on-read contract.
     """
+    import re as _re
+
     viol_parts = []
     replacements = {}
     for col, spec in specs.items():
-        cast_fn, detail = COERCE_SPECS[spec]
         src = F.col(col)
+        if isinstance(spec, tuple) and spec[0] == "encoded_array":
+            _, sep, inner = spec
+            cast_fn, detail = COERCE_SPECS[inner]
+            arr = F.split(src, _re.escape(sep), -1)
+            coerced = F.transform(arr, lambda x: cast_fn(x))
+            replacements[col] = F.when(src.isNotNull(), coerced)
+            idx_fail = F.filter(
+                F.zip_with(arr, coerced,
+                           lambda raw, v: F.struct(raw.alias("raw"),
+                                                   v.alias("v"))),
+                lambda t: t["raw"].isNotNull() & t["v"].isNull()
+                if inner not in ("null", "string")
+                else F.lit(False))
+            # element index via its position in the raw split array
+            def elem_viols(a=arr, cast_fn=cast_fn, detail=detail, col=col,
+                           inner=inner):
+                return F.filter(
+                    F.transform(a, lambda x, i: F.when(
+                        x.isNotNull() & cast_fn(x).isNull()
+                        & F.lit(inner not in ("null", "string")),
+                        _dsl_violation_dyn(
+                            "wrong_type",
+                            F.concat(F.lit(f"/{col}/"), i.cast("string")),
+                            detail)
+                    )),
+                    lambda v: v.isNotNull())
+            viol_parts.append(F.when(src.isNotNull(), elem_viols())
+                               .otherwise(F.array().cast(VIOLATION_DDL))
+                               .cast(VIOLATION_DDL))
+            continue
+        cast_fn, detail = COERCE_SPECS[spec]
         coerced = cast_fn(src)
         if spec == "null":
             failed = src.isNotNull() & (src != "")
