@@ -226,3 +226,33 @@ def test_fuzz_variant_vs_walker(spark, seed):
     rnd = random.Random(seed)
     docs = [_rand_doc(rnd) for _ in range(300)]
     _check(spark, docs, FUZZ_RULESET)
+
+
+class TestCompositeAndNames:
+    def test_composite_enum_const(self, spark):
+        rs = {"properties": {
+            "e": {"enum": [[1, 2], {"a": 1}, "x", 5]},
+            "c": {"const": {"a": [1.5, None]}}}}
+        docs = ['{"e": [1, 2]}', '{"e": [1.0, 2]}', '{"e": [2, 1]}',
+                '{"e": {"a": 1}}', '{"e": {"a": 1.0}}',
+                '{"e": {"a": 1, "b": 2}}', '{"e": 5}', '{"e": 5.0}',
+                '{"c": {"a": [1.5, null]}}', '{"c": {"a": [1.5]}}',
+                '{"c": {"a": [1.5, null], "b": 1}}']
+        _check(spark, docs, rs)
+
+    def test_property_names(self, spark):
+        rs = {"propertyNames": {"maxLength": 3, "pattern": "^[a-z]"}}
+        docs = ['{"ab": 1, "cde": 2}', '{"abcd": 1}', '{"Xab": 1}',
+                '{}', '[1]', '{"a": 1, "toolong": 2}']
+        _check(spark, docs, rs)
+
+    def test_content_media(self, spark):
+        rs = {"properties": {
+            "b": {"contentEncoding": "base64"},
+            "j": {"contentMediaType": "application/json"},
+            "bj": {"contentEncoding": "base64",
+                   "contentMediaType": "application/json"}}}
+        docs = ['{"b": "aGVsbG8="}', '{"b": "not*b64"}',
+                '{"j": "{\\"a\\":1}"}', '{"j": "{"}', '{"j": 5}',
+                '{"bj": "eyJhIjogMX0="}', '{"bj": "aGVsbG8="}']
+        _check(spark, docs, rs)

@@ -1269,23 +1269,26 @@ class ColumnCompiler:
         mt = s.get("contentMediaType")
         parts = []
         val = t.col
+        decodable = F.lit(True)
         if enc == "base64":
-            # strict alphabet check then decode (content_media.rs:52-63)
+            # strict alphabet check then decode (content_media.rs:52-63);
+            # details normalized with the walker (formats.py
+            # decode_base64_utf8): "Invalid byte" / "Invalid UTF-8"
             b64_ok = t.col.rlike(
                 r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
                 r"|[A-Za-z0-9+/]{3}=)?$")
+            utf8_ok = F.is_valid_utf8(F.unbase64(t.col))
             parts.append(_maybe(t.col.isNotNull() & ~b64_ok,
                                 make_violation("format", t.path,
                                                F.lit("Invalid byte"))))
-            val = F.decode(F.unbase64(t.col), "UTF-8")
+            parts.append(_maybe(t.col.isNotNull() & b64_ok & ~utf8_ok,
+                                make_violation("format", t.path,
+                                               F.lit("Invalid UTF-8"))))
+            decodable = b64_ok & utf8_ok
+            val = F.when(decodable, F.decode(F.unbase64(t.col), "UTF-8"))
         if mt == "application/json":
             parsed = F.try_parse_json(val)
-            bad = t.col.isNotNull() & parsed.isNull()
-            if enc == "base64":
-                b64_ok2 = t.col.rlike(
-                    r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
-                    r"|[A-Za-z0-9+/]{3}=)?$")
-                bad = bad & b64_ok2
+            bad = t.col.isNotNull() & decodable & parsed.isNull()
             parts.append(_maybe(bad, make_violation("format", t.path,
                                                     F.lit(""))))
         return _concat(parts)

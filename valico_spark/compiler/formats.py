@@ -274,12 +274,16 @@ def decode_base64_utf8(s: str) -> tuple[str | None, str | None]:
     check (keywords/content_media.rs:52-63). Returns (decoded, error)."""
     try:
         raw = base64.b64decode(s, validate=True)
-    except (binascii.Error, ValueError) as e:
-        return None, str(e)
+    except (binascii.Error, ValueError):
+        # the reference's detail is the Rust base64 crate's dynamic
+        # message ("Invalid byte 42, offset 3..."); Python's binascii
+        # wording differs per failure mode, so both engines normalize to
+        # a stable prefix the column plans can reproduce exactly
+        return None, "Invalid byte"
     try:
         return raw.decode("utf-8"), None
-    except UnicodeDecodeError as e:
-        return None, str(e)
+    except UnicodeDecodeError:
+        return None, "Invalid UTF-8"
 
 
 def json_parses(s: str) -> bool:

@@ -25,8 +25,8 @@ subset — fuzz-tested in ``tests/test_variant_parity.py``. Key mappings:
 * value keywords skip silently on wrong-type values (``nonstrict_process``,
   validators/mod.rs:24-33): every emitter is guarded by its type class.
 
-Unsupported constructs (``unevaluated*``, composite enum/const, remote
-``$ref``, exotic formats, uniqueItems over heterogeneous arrays) raise
+Unsupported constructs (``unevaluated*``, remote ``$ref``, exotic
+formats, ``uniqueItems`` over heterogeneous arrays) raise
 ``UnsupportedRule`` and route to the Arrow-batched walker.
 """
 
@@ -269,7 +269,7 @@ class VariantCompiler:
                 or "patternProperties" in s:
             parts.append(self._properties(s, t, d))
         if "propertyNames" in s:
-            raise UnsupportedRule("propertyNames on dynamic JSON")
+            parts.append(self._property_names(s["propertyNames"], t, d))
         if "minProperties" in s:
             parts.append(self._props_count(s["minProperties"], False, t))
         if "maxProperties" in s:
@@ -318,7 +318,7 @@ class VariantCompiler:
         if "unevaluatedItems" in s and self.version >= DRAFT2019:
             raise UnsupportedRule("unevaluatedItems on dynamic JSON")
         if "contentEncoding" in s or "contentMediaType" in s:
-            raise UnsupportedRule("content media on dynamic JSON")
+            parts.append(self._content_media(s, t))
 
         return _concat(parts)
 
@@ -339,19 +339,47 @@ class VariantCompiler:
         return _maybe(t.col.isNotNull() & ~ok,
                       make_violation("wrong_type", t.path, detail))
 
-    def _scalar_match(self, value: Any, v: Column) -> Column:
-        """is_matching (helpers.rs:137-145) for scalar constants:
-        numbers compare through f64; strings/bools/null by type+value."""
+    def _scalar_match(self, value: Any, v: Column,
+                      top_level: bool = True) -> Column:
+        """is_matching (helpers.rs:137-145): TOP-LEVEL numbers compare
+        through f64 (1 == 1.0); NESTED numbers are strict serde equality
+        (int vs float are distinct Number variants — BIGINT vs
+        DECIMAL/DOUBLE here). Composites recurse: objects must have the
+        exact key set, arrays the exact length."""
         if value is None:
             return _is_null(v)
         if isinstance(value, bool):
             return _is_bool(v) & (_bool(v) == F.lit(value))
         if is_number(value):
-            return _is_num(v) & (_num(v) == F.lit(float(value)))
+            if top_level:
+                return _is_num(v) & (_num(v) == F.lit(float(value)))
+            if isinstance(value, float):
+                tcls = _is_num(v) & (_vtype(v) != "BIGINT")
+            else:
+                tcls = _vtype(v) == "BIGINT"
+            return tcls & (_num(v) == F.lit(float(value)))
         if isinstance(value, str):
             return _is_str(v) & (_str(v) == F.lit(value))
+        if isinstance(value, list):
+            arr = _arr(v)
+            out = _is_arr(v) & (F.size(arr) == len(value))
+            for i, elem in enumerate(value):
+                m = self._scalar_match(elem, F.element_at(arr, i + 1),
+                                       top_level=False)
+                out = out & F.coalesce(m, F.lit(False))
+            return out
+        if isinstance(value, dict):
+            m = _obj(v)
+            out = _is_obj(v) & (F.size(F.map_keys(m)) == len(value))
+            for k, sub in value.items():
+                val = F.element_at(m, F.lit(k))
+                out = out & val.isNotNull() \
+                    & F.coalesce(self._scalar_match(sub, val,
+                                                    top_level=False),
+                                 F.lit(False))
+            return out
         raise UnsupportedRule(
-            f"composite enum/const value on dynamic JSON: {value!r}")
+            f"unsupported enum/const value on dynamic JSON: {value!r}")
 
     def _enum(self, values: list, t: VTarget) -> Column:
         if not isinstance(values, list) or not values:
@@ -512,6 +540,26 @@ class VariantCompiler:
                 ).otherwise(empty_violations()))
         return _concat(parts)
 
+    def _property_names(self, sub: Any, t: VTarget, depth: int) -> Column:
+        """Every key validates ``sub`` as a string value; error paths are
+        ``{path}/[{key}]`` (property_names.rs:25). Keys are lifted to
+        variants (to_json/parse_json round-trip of a 1-element array) so
+        the FULL keyword surface applies to them."""
+        m = _obj(t.col)
+        is_obj = t.col.isNotNull() & _is_obj(t.col)
+
+        def emit(k: Column) -> Column:
+            kv = F.try_variant_get(F.parse_json(F.to_json(F.array(k))),
+                                   "$[0]", "variant")
+            child = VTarget(kv, F.concat(t.path, F.lit("/["), k,
+                                         F.lit("]")))
+            return self._node(sub, child, depth + 1)
+
+        return F.when(
+            is_obj,
+            F.flatten(F.transform(F.map_keys(m), lambda k: emit(k)))
+        ).otherwise(empty_violations())
+
     def _props_count(self, n: Any, is_max: bool, t: VTarget) -> Column:
         cnt = F.size(F.map_keys(_obj(t.col)))
         ok = cnt <= F.lit(int(n)) if is_max else cnt >= F.lit(int(n))
@@ -630,6 +678,36 @@ class VariantCompiler:
             res = F.when(is_arr & elem_marker,
                          F.array(_marker_violation(t.path))).otherwise(res)
         return res
+
+    _B64_RE = (r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
+               r"|[A-Za-z0-9+/]{3}=)?$")
+
+    def _content_media(self, s: dict, t: VTarget) -> Column:
+        """contentEncoding base64 / contentMediaType application/json
+        (content_media.rs:14-61), gated on a string-typed value."""
+        enc = s.get("contentEncoding")
+        mt = s.get("contentMediaType")
+        sv = _str(t.col)
+        is_str = t.col.isNotNull() & _is_str(t.col)
+        parts = []
+        val = sv
+        decodable = F.lit(True)
+        if enc == "base64":
+            b64_ok = sv.rlike(self._B64_RE)
+            utf8_ok = F.is_valid_utf8(F.unbase64(sv))
+            parts.append(_maybe(is_str & ~b64_ok,
+                                make_violation("format", t.path,
+                                               F.lit("Invalid byte"))))
+            parts.append(_maybe(is_str & b64_ok & ~utf8_ok,
+                                make_violation("format", t.path,
+                                               F.lit("Invalid UTF-8"))))
+            decodable = b64_ok & utf8_ok
+            val = F.when(decodable, F.decode(F.unbase64(sv), "UTF-8"))
+        if mt == "application/json":
+            bad = is_str & decodable & F.try_parse_json(val).isNull()
+            parts.append(_maybe(bad, make_violation("format", t.path,
+                                                    F.lit(""))))
+        return _concat(parts)
 
     def _any_of(self, subs: list, t: VTarget, depth: int) -> Column:
         m0 = self._marker_sites
