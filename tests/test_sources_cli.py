@@ -111,3 +111,39 @@ class TestCsvCoerced:
         assert {v["code"] for v in bad["coerce_violations"]} == {"wrong_type"}
         plus = [r for r in rows if r["a"] == 42][0]
         assert plus["b"] == 0.5 and plus["c"] is False
+
+
+class TestBucketedJoins:
+    def test_bucketed_join_has_no_exchange(self, spark, docs_df, tmp_path):
+        """Both sides bucketed+sorted on the join key: the sort-merge
+        join must run with ZERO Exchange operators (the 100 TB contract
+        for uniqueness/referential/dedup-verify joins)."""
+        from valico_spark.sources.bucketed import (
+            plan_has_exchange, write_bucketed,
+        )
+
+        a = docs_df.select("doc_id", "spans")
+        # distinct: the fixture seeds duplicate doc_ids, which would
+        # multiply the joined count
+        b = docs_df.select("doc_id").distinct().withColumn(
+            "flag", F.length(F.col("doc_id")) % 2 == 0)
+        write_bucketed(a, "bk_docs", ["doc_id"], 8)
+        write_bucketed(b, "bk_flags", ["doc_id"], 8)
+        ta = spark.table("bk_docs")
+        tb = spark.table("bk_flags")
+        # forbid broadcast so the test exercises the SMJ path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ta.join(tb, "doc_id")
+            assert not plan_has_exchange(joined), \
+                joined._jdf.queryExecution().executedPlan().toString()[:2000]
+            assert joined.count() == docs_df.count()
+            # control: the same join on non-bucketed inputs shuffles
+            assert plan_has_exchange(
+                docs_df.select("doc_id").join(
+                    docs_df.select("doc_id", "lang_hint")
+                    if "lang_hint" in docs_df.columns
+                    else docs_df.select("doc_id", "spans"), "doc_id"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
