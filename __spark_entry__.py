@@ -300,6 +300,19 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.round("sim", 4).alias("sim_r"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (inverted-file: sampled spherical k-means
+    centroids, nprobe cell probing, exact rerank). Rows-only check: the
+    centroid training is not expressible in DuckDB SQL; recall vs brute
+    force is pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3)
+    return out.select("q_id", "n_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      F.round("sim", 4).alias("sim_r"))
+
+
 def q_dedup_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # 5-gram shingles, 32 hashes, 4 bands x 8 rows (s-curve threshold
@@ -414,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "date_math_orders": q_date_math_orders,
         "drift_psi_event_type": q_drift_psi_event_type,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -149,3 +149,35 @@ class TestSrpBlocking:
         assert {(r.a_id, r.b_id) for r in got} and \
             set(blocked.columns) == {"a_id", "b_id", "sim"}
         assert full  # sanity: the label-blocked baseline is non-empty
+
+
+class TestIvfTopk:
+    def test_ivf_recall_vs_brute_force(self, embeddings):
+        queries = embeddings.where(F.col("vec_id") < 8)
+        exact = similarity.brute_force_topk(embeddings, queries, k=5)
+        approx = similarity.ivf_topk(embeddings, queries, k=5,
+                                     n_centroids=8, nprobe=3)
+        e = {(r.q_id, r.n_id) for r in exact.collect()}
+        a = {(r.q_id, r.n_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6, f"recall {recall}"
+        # probing more cells never hurts recall
+        wide = similarity.ivf_topk(embeddings, queries, k=5,
+                                   n_centroids=8, nprobe=8)
+        wset = {(r.q_id, r.n_id) for r in wide.collect()}
+        assert wset >= (e & a) or len(e & wset) >= len(e & a)
+
+    def test_precomputed_centroids_skip_sampling_job(self, embeddings):
+        import numpy as np
+
+        spark = embeddings.sparkSession
+        dim = len(embeddings.select("embedding").first()[0])
+        rng = np.random.default_rng(3)
+        cents = rng.standard_normal((4, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        similarity.ivf_topk(embeddings, embeddings.limit(2), k=3,
+                            centroids=cents)
+        after = tracker.getJobIdsForGroup(None)
+        assert before == after

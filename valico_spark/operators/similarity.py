@@ -5,11 +5,13 @@
 * ``brute_force_topk`` — exact k-NN: broadcast the (small) query set,
   per-partition score + window top-k. Shuffle carries only
   |queries|·k·partitions candidate rows after partial ranking.
-* ``lsh_topk`` — the 100 TB path: sign-random-projection (SRP) bucketing;
-  candidates only within matching buckets across probe tables, cutting
-  the cross product by ~2^bits. Planes are generated driver-side from a
-  seed and inlined as literals — no UDF, no shuffle beyond the bucket
-  join.
+* ``lsh_topk`` — SRP bucketing with L OR-amplified tables + multi-probe;
+  planes are generated driver-side from a seed and inlined as literals —
+  no UDF, no shuffle beyond the bucket join.
+* ``ivf_topk`` — the inverted-file scale path: spherical k-means
+  centroids from a bounded sample, corpus partitioned by nearest
+  centroid, queries probe nprobe cells; candidate fraction ~
+  nprobe/n_centroids.
 """
 
 from __future__ import annotations
@@ -178,3 +180,86 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("q_id", "n_id", "rank", "sim"))
+
+
+def _kmeans_centroids(sample: "np.ndarray", k: int, iters: int = 8,
+                      seed: int = 7) -> "np.ndarray":
+    """Tiny driver-side spherical k-means over a SAMPLE (never the
+    corpus): the centroid table is an index artifact, like training any
+    LSH/IVF structure offline. O(sample * k * iters) numpy."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                            1e-12)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                c = m.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def _centroid_scores(vec: Column, centroids: "np.ndarray") -> Column:
+    return F.array(*[
+        dot(vec, F.array(*[F.lit(float(v)) for v in c]))
+        for c in centroids])
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             n_centroids: int = 16, nprobe: int = 3,
+             sample_size: int = 4096, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: "np.ndarray | None" = None) -> DataFrame:
+    """IVF approximate top-k: the inverted-file scale path.
+
+    1. (offline) spherical k-means centroids from a corpus SAMPLE —
+       the only driver-side data movement, bounded by ``sample_size``;
+    2. corpus partitioned by nearest centroid (one map stage; at rest
+       this is a bucketed/partitioned layout, computed once per index);
+    3. each query probes its ``nprobe`` nearest centroids, candidates
+       join on the centroid id, exact cosine rerank + window top-k.
+
+    Candidate fraction ≈ nprobe / n_centroids of the corpus; recall is
+    high whenever true neighbors share the query's coarse cells (tune
+    nprobe up for harder distributions). Pass precomputed ``centroids``
+    to skip the sampling job (production: train once, reuse per query
+    batch).
+    """
+    if centroids is None:
+        # deterministic sample: TakeOrderedAndProject (top-N by id) —
+        # a bare limit() picks arbitrary partitions and would train
+        # different centroids run to run
+        rows = (corpus.select(id_col, vec_col)
+                      .orderBy(id_col).limit(int(sample_size))
+                      .select(vec_col).collect())
+        sample = np.array([r[0] for r in rows], dtype=float)
+        centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+    c_scores = _centroid_scores(F.col(vec_col), centroids)
+    c = (ensure_min_partitions(corpus)
+         .select(F.col(id_col).alias("n_id"),
+                 F.col(vec_col).alias("n_vec"),
+                 (F.array_position(c_scores, F.array_max(c_scores)) - 1)
+                 .cast("int").alias("cell")))
+    # query side: indices of the nprobe largest centroid scores —
+    # sort (score, idx) structs descending, slice, explode
+    scored = F.transform(
+        _centroid_scores(F.col(vec_col), centroids),
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("idx")))
+    probes = F.transform(
+        F.slice(F.array_sort(scored), 1, int(nprobe)),
+        lambda t: t["idx"])
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.explode(probes).alias("cell0"))
+               .select("q_id", "q_vec",
+                       F.col("cell0").cast("int").alias("cell")))
+    cand = (q.join(c, "cell")
+             .where(F.col("q_id") != F.col("n_id"))
+             .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("q_id", "n_id", "rank", "sim"))
