@@ -147,3 +147,21 @@ class TestBucketedJoins:
                     else docs_df.select("doc_id", "spans"), "doc_id"))
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestNestedDefaults:
+    def test_nested_struct_defaults(self, spark):
+        from valico_spark.operators.validate import apply_defaults
+
+        df = spark.createDataFrame(
+            [(1, (None, 2)), (2, (5, None)), (3, None)],
+            "id long, cfg struct<retries: int, timeout: int>")
+        rs = {"properties": {
+            "cfg": {"properties": {"retries": {"default": 3},
+                                   "timeout": {"default": 30}}},
+            "id": {"default": 0}}}
+        out = {r["id"]: r["cfg"] for r in
+               apply_defaults(df, rs).collect()}
+        assert tuple(out[1]) == (3, 2)
+        assert tuple(out[2]) == (5, 30)
+        assert out[3] is None  # NULL parent stays NULL (walker's domain)

@@ -201,18 +201,60 @@ def violation_counts_by_code(validated: DataFrame) -> DataFrame:
 
 def apply_defaults(df: DataFrame, ruleset: Any) -> DataFrame:
     """Defaults as derived columns (the column-path equivalent of the
-    reference's supply_defaults, scope.rs:52-122): for every top-level
-    property with a scalar ``default``, absent (NULL) values are replaced
-    with ``coalesce(col, lit(default))``."""
+    reference's supply_defaults, scope.rs:52-122): for every property
+    with a scalar ``default`` — at any struct nesting depth — absent
+    (NULL) values are replaced via ``coalesce`` / ``withField``.
+
+    Scope vs the walker: a NULL parent struct stays NULL (the walker's
+    bubbled object defaults that *create* parents are the Arrow path's
+    job); composite (array/object) default values are skipped."""
+    from pyspark.sql import types as T
+
+    def fill(col: Column, dtype, sub: Any) -> Column | None:
+        """Expression with defaults applied under ``sub``, or None if
+        nothing to inject at/below this node."""
+        if not isinstance(sub, dict):
+            return None
+        changed = False
+        out = col
+        if isinstance(dtype, T.StructType) and "properties" in sub:
+            fields = {f.name: f for f in dtype.fields}
+            for key, psub in sub["properties"].items():
+                f_ = fields.get(key)
+                if f_ is None or not isinstance(psub, dict):
+                    continue
+                inner = fill(out.getField(key), f_.dataType, psub)
+                default = psub.get("default")
+                if inner is None and (
+                        default is None and "default" not in psub
+                        or isinstance(default, (list, dict))):
+                    continue
+                expr = inner if inner is not None \
+                    else out.getField(key)
+                if "default" in psub and not isinstance(default,
+                                                        (list, dict)):
+                    expr = F.coalesce(expr, F.lit(default))
+                out = out.withField(key, expr)
+                changed = True
+            # NULL parent stays NULL: withField on NULL struct yields
+            # NULL anyway, so no extra guard is needed
+        return out if changed else None
+
     props = ruleset.get("properties", {}) if isinstance(ruleset, dict) \
         else {}
     out = df
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     for key, sub in props.items():
-        if (isinstance(sub, dict) and "default" in sub
-                and key in df.columns
-                and not isinstance(sub["default"], (list, dict))):
-            out = out.withColumn(key, F.coalesce(F.col(key),
-                                                 F.lit(sub["default"])))
+        if key not in df.columns or not isinstance(sub, dict):
+            continue
+        col: Column = F.col(key)
+        expr = fill(col, dtypes[key], sub)
+        default = sub.get("default")
+        if "default" in sub and not isinstance(default, (list, dict)):
+            expr = F.coalesce(expr if expr is not None else col,
+                              F.lit(default))
+        if expr is not None:
+            out = out.withColumn(key, expr)
     return out
 
 
