@@ -256,3 +256,79 @@ class TestCompositeAndNames:
                 '{"j": "{\\"a\\":1}"}', '{"j": "{"}', '{"j": 5}',
                 '{"bj": "eyJhIjogMX0="}', '{"bj": "aGVsbG8="}']
         _check(spark, docs, rs)
+
+
+class TestUnevaluatedVariant:
+    def test_unevaluated_properties(self, spark):
+        rs = {"properties": {"a": {"type": "integer"}},
+              "patternProperties": {"^x_": {"type": "string"}},
+              "anyOf": [{"properties": {"b": {"type": "integer"}},
+                         "required": ["b"]},
+                        {"properties": {"c": {"type": "string"}},
+                         "required": ["c"]}],
+              "unevaluatedProperties": False}
+        docs = ['{"a": 1, "b": 2}', '{"a": 1, "b": 2, "z": 3}',
+                '{"a": 1, "c": "s", "x_k": "v"}', '{"a": 1}',
+                '{"b": 2, "c": "s", "d": 4}', '{"a": "bad", "b": 2}',
+                '{"b": "bad", "c": "s"}', '[1]', '{}']
+        _check(spark, docs, rs, force=True)
+
+    def test_unevaluated_properties_schema_and_ifthen(self, spark):
+        rs = {"if": {"required": ["mode"],
+                     "properties": {"mode": {"const": "x"}}},
+              "then": {"properties": {"xval": {"type": "integer"}}},
+              "else": {"properties": {"yval": {"type": "integer"}}},
+              "properties": {"mode": {"type": "string"}},
+              "unevaluatedProperties": {"type": "boolean"}}
+        docs = ['{"mode": "x", "xval": 1}', '{"mode": "x", "yval": 1}',
+                '{"mode": "y", "yval": 1}', '{"mode": "y", "xval": true}',
+                '{"mode": "x", "extra": true}',
+                '{"mode": "x", "extra": 3}', '{}']
+        _check(spark, docs, rs, force=True)
+
+    def test_unevaluated_items(self, spark):
+        rs = {"properties": {"t": {
+            "items": [{"type": "string"}],
+            "anyOf": [{"items": [True, {"type": "integer"}]},
+                      {"items": [True, True, {"type": "boolean"}]}],
+            "unevaluatedItems": False}}}
+        docs = ['{"t": ["a"]}', '{"t": ["a", 1]}', '{"t": ["a", 1, 2]}',
+                '{"t": ["a", "b", true]}', '{"t": ["a", 1, true]}',
+                '{"t": []}', '{"t": ["a", true, true, 4]}']
+        _check(spark, docs, rs, force=True)
+
+    def test_unevaluated_with_recursion_falls_back(self, spark):
+        rs = {"properties": {"n": {"$ref": "#"}},
+              "unevaluatedProperties": False}
+        docs = ['{"n": {}}', '{"n": {"z": 1}}', '{"z": 1}']
+        # auto mode must still produce walker-correct answers
+        _check(spark, docs, rs, force=False)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_fuzz_unevaluated_variant_vs_walker(spark, seed):
+    """The struct-target unevaluated fuzz grammar, replayed over raw JSON
+    through the variant plan."""
+    from test_unevaluated_static import FIELDS, gen_root
+
+    rnd = random.Random(seed)
+
+    def gen_doc():
+        doc = {}
+        for k in FIELDS:
+            if rnd.random() < 0.6:
+                doc[k] = rnd.choice([0, 1, 5, "a", "ab", 1.5, True, None])
+        if rnd.random() < 0.2:
+            doc["zz"] = rnd.choice([1, "z"])
+        return json.dumps(doc)
+
+    checked = 0
+    for _ in range(25):
+        rs = gen_root(rnd)
+        docs = [gen_doc() for _ in range(60)]
+        try:
+            _check(spark, docs, rs, force=True)
+        except UnsupportedRule:
+            continue
+        checked += 1
+    assert checked >= 15, checked

@@ -201,75 +201,67 @@ class ColumnCompiler:
             return self._node(self._resolve_ref(schema["$ref"]), target,
                               depth + 1)
 
-        parts: list[Column] = []
-        if "$ref" in schema:
-            parts.append(self._node(self._resolve_ref(schema["$ref"]),
-                                    target, depth + 1))
-
         s, t = schema, target
         d = depth
-        if "type" in s:
-            parts.append(self._type(s["type"], t))
-        if "enum" in s:
-            parts.append(self._enum(s["enum"], t))
-        if "const" in s:
-            parts.append(self._const(s["const"], t))
-        for kw, op in (("minimum", "min"), ("maximum", "max"),
-                       ("exclusiveMinimum", "emin"),
-                       ("exclusiveMaximum", "emax")):
-            if kw in s:
-                parts.append(self._bound(s[kw], op, t))
-        if "multipleOf" in s:
-            parts.append(self._multiple_of(s["multipleOf"], t))
-        if "minLength" in s:
-            parts.append(self._length(s["minLength"], False, t))
-        if "maxLength" in s:
-            parts.append(self._length(s["maxLength"], True, t))
-        if "pattern" in s:
-            parts.append(self._pattern(s["pattern"], t))
-        if "format" in s:
-            parts.append(self._format(s["format"], t))
-        if "required" in s:
-            parts.append(self._required(s["required"], t))
-        if "properties" in s or "additionalProperties" in s \
-                or "patternProperties" in s:
-            parts.append(self._properties(s, t, d))
-        if "propertyNames" in s:
-            parts.append(self._property_names(s["propertyNames"], t, d))
-        if "minProperties" in s:
-            parts.append(self._props_count(s["minProperties"], False, t))
-        if "maxProperties" in s:
-            parts.append(self._props_count(s["maxProperties"], True, t))
-        if "dependencies" in s or "dependentRequired" in s \
-                or "dependentSchemas" in s:
-            parts.append(self._dependencies(s, t, d))
-        if "items" in s or "additionalItems" in s:
-            parts.append(self._items(s, t, d))
-        if "minItems" in s:
-            parts.append(self._items_count(s["minItems"], False, t))
-        if "maxItems" in s:
-            parts.append(self._items_count(s["maxItems"], True, t))
-        if "uniqueItems" in s and s["uniqueItems"] is True:
-            parts.append(self._unique_items(t))
-        if "contains" in s:
-            parts.append(self._contains(s, t, d))
-        if "allOf" in s:
-            parts.append(self._all_of(s["allOf"], t, d))
-        if "anyOf" in s:
-            parts.append(self._any_of(s["anyOf"], t, d))
-        if "oneOf" in s:
-            parts.append(self._one_of(s["oneOf"], t, d))
-        if "not" in s:
-            parts.append(self._not(s["not"], t, d))
-        if "if" in s:
-            parts.append(self._conditional(s, t, d))
-        if "unevaluatedProperties" in s and self.version >= DRAFT2019:
-            parts.append(self._unevaluated_properties(s, t, d))
-        if "unevaluatedItems" in s and self.version >= DRAFT2019:
-            parts.append(self._unevaluated_items(s, t, d))
-        if "contentEncoding" in s or "contentMediaType" in s:
-            parts.append(self._content_media(s, t))
+        # emit parts in the walker's validator linearization so nested
+        # states payloads (any_of/one_of) are byte-equal
+        handlers = {
+            "$ref": lambda: self._node(self._resolve_ref(s["$ref"]), t,
+                                       d + 1),
+            "type": lambda: self._type(s["type"], t),
+            "enum": lambda: self._enum(s["enum"], t),
+            "const": lambda: self._const(s["const"], t),
+            "minimum": lambda: self._bound(s["minimum"], "min", t),
+            "maximum": lambda: self._bound(s["maximum"], "max", t),
+            "exclusiveMinimum": lambda: self._bound(
+                s["exclusiveMinimum"], "emin", t),
+            "exclusiveMaximum": lambda: self._bound(
+                s["exclusiveMaximum"], "emax", t),
+            "multipleOf": lambda: self._multiple_of(s["multipleOf"], t),
+            "minLength": lambda: self._length(s["minLength"], False, t),
+            "maxLength": lambda: self._length(s["maxLength"], True, t),
+            "pattern": lambda: self._pattern(s["pattern"], t),
+            "format": lambda: self._format(s["format"], t),
+            "required": lambda: self._required(s["required"], t),
+            "properties": lambda: self._properties(s, t, d),
+            "propertyNames": lambda: self._property_names(
+                s["propertyNames"], t, d),
+            "minProperties": lambda: self._props_count(
+                s["minProperties"], False, t),
+            "maxProperties": lambda: self._props_count(
+                s["maxProperties"], True, t),
+            "dependencies": lambda: self._dependencies(s, t, d),
+            "items": lambda: self._items(s, t, d),
+            "minItems": lambda: self._items_count(s["minItems"], False, t),
+            "maxItems": lambda: self._items_count(s["maxItems"], True, t),
+            "uniqueItems": lambda: (self._unique_items(t)
+                                    if s["uniqueItems"] is True else None),
+            "contains": lambda: (self._contains(s, t, d)
+                                 if "contains" in s else None),
+            "allOf": lambda: self._all_of(s["allOf"], t, d),
+            "anyOf": lambda: self._any_of(s["anyOf"], t, d),
+            "oneOf": lambda: self._one_of(s["oneOf"], t, d),
+            "not": lambda: self._not(s["not"], t, d),
+            "if": lambda: (self._conditional(s, t, d)
+                           if "if" in s else None),
+            "unevaluatedProperties": lambda: (
+                self._unevaluated_properties(s, t, d)
+                if self.version >= DRAFT2019 else None),
+            "unevaluatedItems": lambda: (
+                self._unevaluated_items(s, t, d)
+                if self.version >= DRAFT2019 else None),
+            "contentMediaType": lambda: self._content_media(s, t),
+        }
+        from valico_spark.compiler.pyvalidator import keyword_dispatch_order
 
+        parts: list[Column] = []
+        for canon in keyword_dispatch_order(s, self.version):
+            h = handlers.get(canon)
+            if h is None:
+                continue
+            part = h()
+            if part is not None:
+                parts.append(part)
         return _concat(parts)
 
     # -- unevaluatedProperties (2019-09) ----------------------------------
@@ -728,12 +720,12 @@ class ColumnCompiler:
                 return F.size(col) == 0
             elem_preds = []
             for i, v in enumerate(value):
-                m = self._match_value(v, F.element_at(col, i + 1), et,
+                m = self._match_value(v, F.try_element_at(col, F.lit(i + 1)), et,
                                       top_level=False)
                 if m is None and v is not None:
                     return None  # some element can never match
                 if v is None:
-                    m = F.element_at(col, i + 1).isNull()
+                    m = F.try_element_at(col, F.lit(i + 1)).isNull()
                 elem_preds.append(m)
             out = F.size(col) == len(value)
             for m in elem_preds:
@@ -933,42 +925,36 @@ class ColumnCompiler:
             if patterns:
                 raise UnsupportedRule(
                     "patternProperties on struct targets (closed schema)")
-            fields = {f.name: f for f in t.dtype.fields}
+            # iterate FIELD order — the document key order of the
+            # serialized row (properties.rs:47 walks the object's keys),
+            # so states payloads are byte-equal to the walker's
             parts = []
-            for key, sub in props.items():
-                f_ = fields.get(key)
-                if f_ is None:
-                    continue  # field can never be present in typed rows
+            for f_ in t.dtype.fields:
+                key = f_.name
                 child = t.child(t.col.getField(key), f_.dataType,
                                 F.concat(t.path, F.lit("/" + key)))
-                sub_viol = self._node(sub, child, depth + 1)
-                # valico validates a property only when the key exists
-                # (validators/properties.rs:47-67): NULL ≡ absent, so the
-                # whole subschema — including combinators like `not` that
-                # would otherwise fire on a vacuously-skipped value — is
-                # gated on child presence
-                parts.append(F.when(
-                    t.col.isNotNull() & child.col.isNotNull(), sub_viol
-                ).otherwise(empty_violations()))
-            if additional is False:
-                for key, f_ in fields.items():
-                    if key not in props:
-                        parts.append(_maybe(
-                            t.col.isNotNull()
-                            & t.col.getField(key).isNotNull(),
-                            make_violation(
-                                "properties", t.path,
-                                F.lit(f"Additional property '{key}'"
-                                      " is not allowed"))))
-            elif isinstance(additional, dict):
-                for key, f_ in fields.items():
-                    if key not in props:
-                        child = t.child(t.col.getField(key), f_.dataType,
-                                        F.concat(t.path, F.lit("/" + key)))
-                        parts.append(F.when(
-                            t.col.isNotNull() & child.col.isNotNull(),
-                            self._node(additional, child, depth + 1)
-                        ).otherwise(empty_violations()))
+                present = t.col.isNotNull() & child.col.isNotNull()
+                if key in props:
+                    # valico validates a property only when the key
+                    # exists (properties.rs:47-67): NULL ≡ absent, so
+                    # the whole subschema — including combinators like
+                    # `not` that would otherwise fire on a vacuously-
+                    # skipped value — is gated on child presence
+                    parts.append(F.when(
+                        present, self._node(props[key], child, depth + 1)
+                    ).otherwise(empty_violations()))
+                elif additional is False:
+                    parts.append(_maybe(
+                        present,
+                        make_violation(
+                            "properties", t.path,
+                            F.lit(f"Additional property '{key}'"
+                                  " is not allowed"))))
+                elif isinstance(additional, dict):
+                    parts.append(F.when(
+                        present,
+                        self._node(additional, child, depth + 1)
+                    ).otherwise(empty_violations()))
             return _concat(parts)
         if isinstance(t.dtype, T.MapType):
             return self._properties_map(s, t, depth)
@@ -978,66 +964,54 @@ class ColumnCompiler:
 
     def _properties_map(self, s: dict, t: Target, depth: int) -> Column:
         """properties/patternProperties/additionalProperties over
-        MapType(string, V) — open-keyed objects."""
+        MapType(string, V) — open-keyed objects. ONE pass over
+        ``map_entries`` so violations come out in document key order
+        (properties.rs:47), with the walker's per-key sub-order:
+        property match, then each matching pattern, then additional."""
         props = s.get("properties", {})
         additional = s.get("additionalProperties")
         patterns = s.get("patternProperties", {})
         vtype = t.dtype.valueType
-        parts = []
-        for key, sub in props.items():
-            val = F.element_at(t.col, F.lit(key))
-            child = t.child(val, vtype, F.concat(t.path, F.lit("/" + key)))
-            parts.append(F.when(t.col.isNotNull() & val.isNotNull(),
-                                self._node(sub, child, depth + 1))
-                          .otherwise(empty_violations()))
-        for pat, sub in patterns.items():
-            def emit(entry, pat=pat, sub=sub):
-                child = Target(entry["value"], vtype,
-                               F.concat(t.path, F.lit("/"), entry["key"]))
-                return F.when(entry["key"].rlike(pat),
-                              self._node(sub, child, depth + 1)
-                              ).otherwise(empty_violations())
-            parts.append(F.when(
-                t.col.isNotNull(),
-                F.flatten(F.transform(
-                    F.map_entries(t.col),
-                    lambda e: emit(e)))).otherwise(empty_violations()))
-        if additional is not None:
-            known = list(props.keys())
-            pats = list(patterns.keys())
 
-            def is_known(k: Column) -> Column:
-                cond = F.lit(False)
-                if known:
-                    cond = cond | k.isin(known)
-                for p in pats:
-                    cond = cond | k.rlike(p)
-                return cond
-
-            if additional is False:
-                extra_keys = F.filter(F.map_keys(t.col),
-                                      lambda k: ~is_known(k))
-                parts.append(F.when(
-                    t.col.isNotNull(),
-                    F.transform(extra_keys, lambda k: make_violation(
+        def entry_viols(e: Column) -> Column:
+            key, val = e["key"], e["value"]
+            child = Target(val, vtype, F.concat(t.path, F.lit("/"), key))
+            parts = []
+            prop_case = None
+            for k, sub in props.items():
+                v = self._node(sub, child, depth + 1)
+                prop_case = (F.when(key == F.lit(k), v) if prop_case is None
+                             else prop_case.when(key == F.lit(k), v))
+            if prop_case is not None:
+                parts.append(prop_case.otherwise(empty_violations()))
+            for pat, sub in patterns.items():
+                parts.append(F.when(key.rlike(pat),
+                                    self._node(sub, child, depth + 1)
+                                    ).otherwise(empty_violations()))
+            if additional is not None:
+                is_known = F.lit(False)
+                if props:
+                    is_known = is_known | key.isin(list(props))
+                for p in patterns:
+                    is_known = is_known | key.rlike(p)
+                if additional is False:
+                    parts.append(F.when(~is_known, F.array(make_violation(
                         "properties", t.path,
-                        F.concat(F.lit("Additional property '"), k,
+                        F.concat(F.lit("Additional property '"), key,
                                  F.lit("' is not allowed"))))
-                ).otherwise(empty_violations()))
-            elif isinstance(additional, dict):
-                def emit_add(entry):
-                    child = Target(entry["value"], vtype,
-                                   F.concat(t.path, F.lit("/"),
-                                            entry["key"]))
-                    return F.when(~is_known(entry["key"]),
-                                  self._node(additional, child, depth + 1)
-                                  ).otherwise(empty_violations())
-                parts.append(F.when(
-                    t.col.isNotNull(),
-                    F.flatten(F.transform(F.map_entries(t.col),
-                                          lambda e: emit_add(e)))
-                ).otherwise(empty_violations()))
-        return _concat(parts)
+                    ).otherwise(empty_violations()))
+                elif isinstance(additional, dict):
+                    parts.append(F.when(
+                        ~is_known,
+                        self._node(additional, child, depth + 1)
+                    ).otherwise(empty_violations()))
+            return _concat(parts)
+
+        return F.when(
+            t.col.isNotNull(),
+            F.flatten(F.transform(F.map_entries(t.col),
+                                  lambda e: entry_viols(e)))
+        ).otherwise(empty_violations())
 
     def _property_names(self, sub: Any, t: Target, depth: int) -> Column:
         if isinstance(t.dtype, T.StructType):

@@ -1550,6 +1550,31 @@ class _Settings:
         self.formats = formats
 
 
+def keyword_dispatch_order(def_: dict, version: int) -> list[str]:
+    """Canonical keyword-group names present in ``def_`` in the exact
+    order _compile_keywords linearizes their validators (sorted-key walk;
+    place_first groups insert at the front, place_last at the end). The
+    column compilers emit violation parts in this order so that nested
+    ``states`` payloads are byte-equal to the walker's."""
+    firsts: list[str] = []
+    normals: list[str] = []
+    lasts: list[str] = []
+    processed: set[int] = set()
+    for key in sorted(def_.keys()):
+        spec = _KEYWORD_BY_KEY.get(key)
+        if spec is None or id(spec) in processed:
+            continue
+        processed.add(id(spec))
+        canon = spec.keys[0]
+        if spec.first:
+            firsts.insert(0, canon)
+        elif spec.last:
+            lasts.append(canon)
+        else:
+            normals.append(canon)
+    return firsts + normals + lasts
+
+
 def _compile_keywords(def_: dict, ctx: WalkContext,
                       settings: _Settings) -> list[Validator]:
     # schema.rs:322-386 — deterministic linearization of the reference's

@@ -25,9 +25,11 @@ subset — fuzz-tested in ``tests/test_variant_parity.py``. Key mappings:
 * value keywords skip silently on wrong-type values (``nonstrict_process``,
   validators/mod.rs:24-33): every emitter is guarded by its type class.
 
-Unsupported constructs (``unevaluated*``, remote ``$ref``, exotic
-formats, ``uniqueItems`` over heterogeneous arrays) raise
-``UnsupportedRule`` and route to the Arrow-batched walker.
+Unsupported constructs (remote ``$ref``, exotic formats,
+``uniqueItems`` over heterogeneous arrays, ``unevaluated*`` combined
+with recursion or nested inside combinators) raise ``UnsupportedRule``
+and route to the Arrow-batched walker; plain ``unevaluated*`` compiles
+statically (runtime per-entry/per-element evaluated predicates).
 """
 
 from __future__ import annotations
@@ -139,6 +141,10 @@ _TYPE_PRED = {
 NEEDS_WALKER = "__needs_walker__"
 
 
+def _raise_unsupported(msg: str):
+    raise UnsupportedRule(msg)
+
+
 def _marker_violation(path: Column) -> Column:
     return F.struct(
         F.lit(NEEDS_WALKER).alias("code"), F.lit("").alias("title"),
@@ -233,76 +239,26 @@ class VariantCompiler:
             return self._node(self._resolve_ref(schema["$ref"]), t,
                               depth + 1)
 
-        parts: list[Column] = []
         s, d = schema, depth
-        if "$ref" in s:
+
+        def h_ref():
             self._refs_inlined += 1
             if self._refs_inlined > self.ref_budget:
-                parts.append(self._cut(t, "$ref inlining budget exhausted"))
-            else:
-                parts.append(self._node(self._resolve_ref(s["$ref"]), t,
-                                        depth + 1))
-        if "type" in s:
-            parts.append(self._type(s["type"], t))
-        if "enum" in s:
-            parts.append(self._enum(s["enum"], t))
-        if "const" in s:
-            parts.append(self._const(s["const"], t))
-        for kw, op in (("minimum", "min"), ("maximum", "max"),
-                       ("exclusiveMinimum", "emin"),
-                       ("exclusiveMaximum", "emax")):
-            if kw in s:
-                parts.append(self._bound(s[kw], op, t))
-        if "multipleOf" in s:
-            parts.append(self._multiple_of(s["multipleOf"], t))
-        if "minLength" in s:
-            parts.append(self._length(s["minLength"], False, t))
-        if "maxLength" in s:
-            parts.append(self._length(s["maxLength"], True, t))
-        if "pattern" in s:
-            parts.append(self._pattern(s["pattern"], t))
-        if "format" in s:
-            parts.append(self._format(s["format"], t))
-        if "required" in s:
-            parts.append(self._required(s["required"], t))
-        if "properties" in s or "additionalProperties" in s \
-                or "patternProperties" in s:
-            parts.append(self._properties(s, t, d))
-        if "propertyNames" in s:
-            parts.append(self._property_names(s["propertyNames"], t, d))
-        if "minProperties" in s:
-            parts.append(self._props_count(s["minProperties"], False, t))
-        if "maxProperties" in s:
-            parts.append(self._props_count(s["maxProperties"], True, t))
-        if "dependencies" in s or "dependentRequired" in s \
-                or "dependentSchemas" in s:
-            parts.append(self._dependencies(s, t, d))
-        if "items" in s or "additionalItems" in s:
-            parts.append(self._items(s, t, d))
-        if "minItems" in s:
-            parts.append(self._items_count(s["minItems"], False, t))
-        if "maxItems" in s:
-            parts.append(self._items_count(s["maxItems"], True, t))
-        if "uniqueItems" in s and s["uniqueItems"] is True:
-            raise UnsupportedRule("uniqueItems on dynamic JSON")
-        if "contains" in s:
-            parts.append(self._contains(s, t, d))
-        if "allOf" in s:
-            parts.append(_concat([self._node(sub, t, d + 1)
-                                  for sub in s["allOf"]]))
-        if "anyOf" in s:
-            parts.append(self._any_of(s["anyOf"], t, d))
-        if "oneOf" in s:
-            parts.append(self._one_of(s["oneOf"], t, d))
-        if "not" in s:
+                return self._cut(t, "$ref inlining budget exhausted")
+            return self._node(self._resolve_ref(s["$ref"]), t, d + 1)
+
+        def h_not():
             m0 = self._marker_sites
             sub_viol = self._node(s["not"], t, d + 1)
             res = _maybe(F.size(sub_viol) == 0,
                          make_violation("not", t.path))
             if self._marker_sites > m0:
                 res = self._lift_marker([sub_viol], res, t)
-            parts.append(res)
-        if "if" in s:
+            return res
+
+        def h_if():
+            if "if" not in s:
+                return None
             m0 = self._marker_sites
             if_v = self._node(s["if"], t, d + 1)
             then_v = (self._node(s["then"], t, d + 1)
@@ -312,14 +268,85 @@ class VariantCompiler:
             res = F.when(F.size(if_v) == 0, then_v).otherwise(else_v)
             if self._marker_sites > m0:
                 res = self._lift_marker([if_v, then_v, else_v], res, t)
-            parts.append(res)
-        if "unevaluatedProperties" in s and self.version >= DRAFT2019:
-            raise UnsupportedRule("unevaluatedProperties on dynamic JSON")
-        if "unevaluatedItems" in s and self.version >= DRAFT2019:
-            raise UnsupportedRule("unevaluatedItems on dynamic JSON")
-        if "contentEncoding" in s or "contentMediaType" in s:
-            parts.append(self._content_media(s, t))
+            return res
 
+        def h_uneval_props():
+            if self.version < DRAFT2019:
+                return None
+            m0 = self._marker_sites
+            res = self._unevaluated_properties_v(s, t, d)
+            if self._marker_sites > m0:
+                # an evaluated-set computed from a truncated (recursion-
+                # cut) plan is untrustworthy — whole doc to the walker
+                raise UnsupportedRule(
+                    "unevaluated* with recursive $ref on dynamic JSON")
+            return res
+
+        def h_uneval_items():
+            if self.version < DRAFT2019:
+                return None
+            m0 = self._marker_sites
+            res = self._unevaluated_items_v(s, t, d)
+            if self._marker_sites > m0:
+                raise UnsupportedRule(
+                    "unevaluated* with recursive $ref on dynamic JSON")
+            return res
+
+        # emit parts in the walker's validator linearization so nested
+        # states payloads (any_of/one_of) are byte-equal
+        handlers = {
+            "$ref": h_ref,
+            "type": lambda: self._type(s["type"], t),
+            "enum": lambda: self._enum(s["enum"], t),
+            "const": lambda: self._const(s["const"], t),
+            "minimum": lambda: self._bound(s["minimum"], "min", t),
+            "maximum": lambda: self._bound(s["maximum"], "max", t),
+            "exclusiveMinimum": lambda: self._bound(
+                s["exclusiveMinimum"], "emin", t),
+            "exclusiveMaximum": lambda: self._bound(
+                s["exclusiveMaximum"], "emax", t),
+            "multipleOf": lambda: self._multiple_of(s["multipleOf"], t),
+            "minLength": lambda: self._length(s["minLength"], False, t),
+            "maxLength": lambda: self._length(s["maxLength"], True, t),
+            "pattern": lambda: self._pattern(s["pattern"], t),
+            "format": lambda: self._format(s["format"], t),
+            "required": lambda: self._required(s["required"], t),
+            "properties": lambda: self._properties(s, t, d),
+            "propertyNames": lambda: self._property_names(
+                s["propertyNames"], t, d),
+            "minProperties": lambda: self._props_count(
+                s["minProperties"], False, t),
+            "maxProperties": lambda: self._props_count(
+                s["maxProperties"], True, t),
+            "dependencies": lambda: self._dependencies(s, t, d),
+            "items": lambda: self._items(s, t, d),
+            "minItems": lambda: self._items_count(s["minItems"], False, t),
+            "maxItems": lambda: self._items_count(s["maxItems"], True, t),
+            "uniqueItems": lambda: (_raise_unsupported(
+                "uniqueItems on dynamic JSON")
+                if s["uniqueItems"] is True else None),
+            "contains": lambda: (self._contains(s, t, d)
+                                 if "contains" in s else None),
+            "allOf": lambda: _concat([self._node(sub, t, d + 1)
+                                      for sub in s["allOf"]]),
+            "anyOf": lambda: self._any_of(s["anyOf"], t, d),
+            "oneOf": lambda: self._one_of(s["oneOf"], t, d),
+            "not": h_not,
+            "if": h_if,
+            "unevaluatedProperties": h_uneval_props,
+            "unevaluatedItems": h_uneval_items,
+            "contentMediaType": lambda: self._content_media(s, t),
+        }
+        from valico_spark.compiler.pyvalidator import keyword_dispatch_order
+
+        parts: list[Column] = []
+        for canon in keyword_dispatch_order(s, self.version):
+            h = handlers.get(canon)
+            if h is None:
+                continue
+            part = h()
+            if part is not None:
+                parts.append(part)
         return _concat(parts)
 
     # -- keyword emitters --------------------------------------------------
@@ -364,7 +391,7 @@ class VariantCompiler:
             arr = _arr(v)
             out = _is_arr(v) & (F.size(arr) == len(value))
             for i, elem in enumerate(value):
-                m = self._scalar_match(elem, F.element_at(arr, i + 1),
+                m = self._scalar_match(elem, F.try_element_at(arr, F.lit(i + 1)),
                                        top_level=False)
                 out = out & F.coalesce(m, F.lit(False))
             return out
@@ -476,69 +503,56 @@ class VariantCompiler:
         return _concat(parts)
 
     def _properties(self, s: dict, t: VTarget, depth: int) -> Column:
+        """properties/patternProperties/additionalProperties — ONE pass
+        over ``map_entries`` so violations come out in DOCUMENT key order
+        (properties.rs:47 iterates the object's keys), with the walker's
+        per-key sub-order: property match, then each matching pattern,
+        then additional."""
         props = s.get("properties", {})
         additional = s.get("additionalProperties")
         patterns = s.get("patternProperties", {})
         m = _obj(t.col)
         is_obj = t.col.isNotNull() & _is_obj(t.col)
-        parts = []
-        for key, sub in props.items():
-            val = F.element_at(m, F.lit(key))
-            child = t.child(val, _join(t.path, key))
-            # subschema runs only when the key exists (properties.rs:47)
-            parts.append(F.when(is_obj & val.isNotNull(),
-                                self._node(sub, child, depth + 1))
-                          .otherwise(empty_violations()))
-        for pat, sub in patterns.items():
-            def emit(entry, sub=sub, pat=pat):
-                child = VTarget(entry["value"],
-                                F.concat(t.path, F.lit("/"), entry["key"]))
-                return F.when(entry["key"].rlike(pat),
-                              self._node(sub, child, depth + 1)
-                              ).otherwise(empty_violations())
-            parts.append(F.when(
-                is_obj,
-                # the 1-arg lambda wrapper matters: F.transform infers
-                # lambda-variable arity from the signature (bound
-                # defaults count), and the lambda is consumed inside
-                # this loop iteration so the closure binds correctly
-                F.flatten(F.transform(F.map_entries(m),
-                                      lambda e: emit(e)))
-            ).otherwise(empty_violations()))
-        if additional is not None:
-            known = list(props.keys())
-            pats = list(patterns.keys())
 
-            def is_known(k: Column) -> Column:
-                cond = F.lit(False)
-                if known:
-                    cond = cond | k.isin(known)
-                for p in pats:
-                    cond = cond | k.rlike(p)
-                return cond
-
-            if additional is False:
-                extra = F.filter(F.map_keys(m), lambda k: ~is_known(k))
-                parts.append(F.when(
-                    is_obj,
-                    F.transform(extra, lambda k: make_violation(
+        def entry_viols(e: Column) -> Column:
+            key, val = e["key"], e["value"]
+            child = VTarget(val, F.concat(t.path, F.lit("/"), key))
+            parts = []
+            prop_case = None
+            for k, sub in props.items():
+                v = self._node(sub, child, depth + 1)
+                prop_case = (F.when(key == F.lit(k), v) if prop_case is None
+                             else prop_case.when(key == F.lit(k), v))
+            if prop_case is not None:
+                parts.append(prop_case.otherwise(empty_violations()))
+            for pat, sub in patterns.items():
+                parts.append(F.when(key.rlike(pat),
+                                    self._node(sub, child, depth + 1)
+                                    ).otherwise(empty_violations()))
+            if additional is not None:
+                is_known = F.lit(False)
+                if props:
+                    is_known = is_known | key.isin(list(props))
+                for p in patterns:
+                    is_known = is_known | key.rlike(p)
+                if additional is False:
+                    parts.append(F.when(~is_known, F.array(make_violation(
                         "properties", t.path,
-                        F.concat(F.lit("Additional property '"), k,
+                        F.concat(F.lit("Additional property '"), key,
                                  F.lit("' is not allowed"))))
-                ).otherwise(empty_violations()))
-            elif isinstance(additional, dict):
-                def emit_add(entry):
-                    child = VTarget(entry["value"],
-                                    F.concat(t.path, F.lit("/"),
-                                             entry["key"]))
-                    return F.when(~is_known(entry["key"]),
-                                  self._node(additional, child, depth + 1)
-                                  ).otherwise(empty_violations())
-                parts.append(F.when(
-                    is_obj,
-                    F.flatten(F.transform(F.map_entries(m), emit_add))
-                ).otherwise(empty_violations()))
-        return _concat(parts)
+                    ).otherwise(empty_violations()))
+                elif isinstance(additional, dict):
+                    parts.append(F.when(
+                        ~is_known,
+                        self._node(additional, child, depth + 1)
+                    ).otherwise(empty_violations()))
+            return _concat(parts)
+
+        return F.when(
+            is_obj,
+            F.flatten(F.transform(F.map_entries(m),
+                                  lambda e: entry_viols(e)))
+        ).otherwise(empty_violations())
 
     def _property_names(self, sub: Any, t: VTarget, depth: int) -> Column:
         """Every key validates ``sub`` as a string value; error paths are
@@ -604,7 +618,7 @@ class VariantCompiler:
             ).otherwise(empty_violations()))
         elif isinstance(items, list):
             for i, sub in enumerate(items):
-                val = F.element_at(arr, i + 1)
+                val = F.try_element_at(arr, F.lit(i + 1))
                 child = t.child(val, _join(t.path, str(i)))
                 parts.append(F.when(
                     is_arr & (F.size(arr) > i),
@@ -678,6 +692,227 @@ class VariantCompiler:
             res = F.when(is_arr & elem_marker,
                          F.array(_marker_violation(t.path))).otherwise(res)
         return res
+
+    # -- unevaluated* (2019-09) on dynamic JSON ---------------------------
+    # mirrors the typed compiler's static evaluated-set analysis
+    # (columns.py _evaluated_keys/_entry_evaluated/_evaluated_items) with
+    # runtime type guards: success-conditioned marking, combinator merge
+    # rules, contains does NOT mark evaluated.
+
+    def _guard_nested_unevaluated(self, s: dict) -> None:
+        for kw in ("unevaluatedProperties", "unevaluatedItems"):
+            for sub in s.get("allOf", []) + s.get("anyOf", []) \
+                    + s.get("oneOf", []):
+                if isinstance(sub, dict) and kw in sub:
+                    raise UnsupportedRule(f"nested {kw} in combinator")
+
+    def _entry_evaluated_v(self, s: Any, t: VTarget, depth: int,
+                           key: Column, val: Column) -> Column:
+        if not isinstance(s, dict):
+            s = {} if s is True else {"not": {}}
+        self._guard_nested_unevaluated(s)
+
+        def sub_ok(sub) -> Column:
+            child = VTarget(val, F.lit(""))
+            return F.size(self._node(sub, child, depth + 1)) == 0
+
+        def branch_valid(sub) -> Column:
+            return F.size(self._node(sub, t, depth + 1)) == 0
+
+        m = _obj(t.col)
+        conds: list[Column] = []
+        if "$ref" in s:
+            conds.append(self._entry_evaluated_v(
+                self._resolve_ref(s["$ref"]), t, depth + 1, key, val))
+            if self.version < DRAFT2019:
+                return conds[0]
+        props = s.get("properties", {})
+        patterns = s.get("patternProperties", {})
+        additional = s.get("additionalProperties")
+        for k, sub in props.items():
+            conds.append((key == F.lit(k)) & sub_ok(sub))
+        for pat, psub in patterns.items():
+            conds.append(key.rlike(pat) & sub_ok(psub))
+        if additional is not None:
+            is_known = F.lit(False)
+            if props:
+                is_known = is_known | key.isin(list(props))
+            for pat in patterns:
+                is_known = is_known | key.rlike(pat)
+            if additional is True:
+                conds.append(~is_known)
+            elif additional is not False:
+                conds.append(~is_known & sub_ok(additional))
+        for sub in s.get("allOf", []):
+            conds.append(self._entry_evaluated_v(sub, t, depth + 1,
+                                                 key, val))
+        for sub in s.get("anyOf", []):
+            conds.append(branch_valid(sub)
+                         & self._entry_evaluated_v(sub, t, depth + 1,
+                                                   key, val))
+        if "oneOf" in s:
+            count = None
+            for sub in s["oneOf"]:
+                x = F.when(branch_valid(sub), 1).otherwise(0)
+                count = x if count is None else (count + x)
+            for sub in s["oneOf"]:
+                conds.append((count == 1) & branch_valid(sub)
+                             & self._entry_evaluated_v(sub, t, depth + 1,
+                                                       key, val))
+        if "if" in s:
+            ivalid = branch_valid(s["if"])
+            conds.append(ivalid & self._entry_evaluated_v(
+                s["if"], t, depth + 1, key, val))
+            if "then" in s:
+                conds.append(ivalid & self._entry_evaluated_v(
+                    s["then"], t, depth + 1, key, val))
+            if "else" in s:
+                conds.append(~ivalid & self._entry_evaluated_v(
+                    s["else"], t, depth + 1, key, val))
+        deps = dict(s.get("dependencies", {}))
+        deps.update(s.get("dependentSchemas", {}))
+        for trig, dsub in deps.items():
+            if isinstance(dsub, (dict, bool)):
+                trig_present = F.map_contains_key(m, F.lit(trig))
+                conds.append(trig_present & self._entry_evaluated_v(
+                    dsub, t, depth + 1, key, val))
+        out = F.lit(False)
+        for c in conds:
+            out = out | c
+        return out
+
+    def _unevaluated_properties_v(self, s: dict, t: VTarget,
+                                  depth: int) -> Column:
+        spec = s["unevaluatedProperties"]
+        if spec is True:
+            return empty_violations()
+        rest = {k: v for k, v in s.items()
+                if k != "unevaluatedProperties"}
+        m = _obj(t.col)
+        is_obj = t.col.isNotNull() & _is_obj(t.col)
+
+        def emit(e: Column) -> Column:
+            ev = self._entry_evaluated_v(rest, t, depth,
+                                         e["key"], e["value"])
+            path = F.concat(t.path, F.lit("/"), e["key"])
+            if spec is False:
+                return F.when(~ev, F.array(make_violation(
+                    "unevaluated", path,
+                    F.lit("Unevaluated properties are not allowed")))
+                ).otherwise(empty_violations())
+            child = VTarget(e["value"], path)
+            return F.when(~ev, self._node(spec, child, depth + 1)) \
+                    .otherwise(empty_violations())
+
+        return F.when(
+            is_obj,
+            F.flatten(F.transform(F.map_entries(m), lambda e: emit(e)))
+        ).otherwise(empty_violations())
+
+    def _evaluated_items_v(self, s: Any, t: VTarget,
+                           depth: int) -> Column:
+        """array<boolean> aligned with the (variant-cast) array."""
+        if not isinstance(s, dict):
+            s = {} if s is True else {"not": {}}
+        self._guard_nested_unevaluated(s)
+        arr = _arr(t.col)
+        false_arr = F.transform(arr, lambda x: F.lit(False))
+
+        def merge(a: Column, b: Column) -> Column:
+            return F.zip_with(a, b, lambda x, y: x | y)
+
+        def gate(a: Column, cond: Column) -> Column:
+            return F.transform(a, lambda x: cond & x)
+
+        def elem_ok(sub, x: Column) -> Column:
+            return F.size(self._node(sub, VTarget(x, F.lit("")),
+                                     depth + 1)) == 0
+
+        ev = false_arr
+        items = s.get("items")
+        additional = s.get("additionalItems")
+        if isinstance(items, (dict, bool)):
+            ev = merge(ev, F.transform(arr, lambda x: elem_ok(items, x)))
+        elif isinstance(items, list):
+            def positional(x: Column, i: Column) -> Column:
+                out = F.lit(False)
+                for idx, sub in enumerate(items):
+                    out = F.when(i == idx, elem_ok(sub, x)).otherwise(out)
+                if additional is True:
+                    out = F.when(i >= len(items), F.lit(True)) \
+                           .otherwise(out)
+                elif isinstance(additional, dict):
+                    out = F.when(i >= len(items),
+                                 elem_ok(additional, x)).otherwise(out)
+                return out
+            ev = merge(ev, F.transform(arr, positional))
+
+        def branch_valid(sub) -> Column:
+            return F.size(self._node(sub, t, depth + 1)) == 0
+
+        for sub in s.get("allOf", []):
+            ev = merge(ev, self._evaluated_items_v(sub, t, depth + 1))
+        for sub in s.get("anyOf", []):
+            ev = merge(ev, gate(self._evaluated_items_v(sub, t, depth + 1),
+                                branch_valid(sub)))
+        if "oneOf" in s:
+            count = None
+            for sub in s["oneOf"]:
+                x = F.when(branch_valid(sub), 1).otherwise(0)
+                count = x if count is None else (count + x)
+            for sub in s["oneOf"]:
+                ev = merge(ev, gate(
+                    self._evaluated_items_v(sub, t, depth + 1),
+                    (count == 1) & branch_valid(sub)))
+        if "if" in s:
+            ivalid = branch_valid(s["if"])
+            ev = merge(ev, gate(self._evaluated_items_v(s["if"], t,
+                                                        depth + 1),
+                                ivalid))
+            if "then" in s:
+                ev = merge(ev, gate(
+                    self._evaluated_items_v(s["then"], t, depth + 1),
+                    ivalid))
+            if "else" in s:
+                ev = merge(ev, gate(
+                    self._evaluated_items_v(s["else"], t, depth + 1),
+                    ~ivalid))
+        if "$ref" in s:
+            ev = merge(ev, self._evaluated_items_v(
+                self._resolve_ref(s["$ref"]), t, depth + 1))
+        return ev
+
+    def _unevaluated_items_v(self, s: dict, t: VTarget,
+                             depth: int) -> Column:
+        spec = s["unevaluatedItems"]
+        if spec is True:
+            return empty_violations()
+        rest = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+        arr = _arr(t.col)
+        is_arr = t.col.isNotNull() & _is_arr(t.col)
+        ev = self._evaluated_items_v(rest, t, depth)
+        idx_ev = F.zip_with(arr, ev,
+                            lambda x, e: F.struct(x.alias("x"),
+                                                  e.alias("e")))
+
+        if spec is False:
+            def emit(pair: Column, i: Column) -> Column:
+                return F.when(~pair["e"], F.array(make_violation(
+                    "unevaluated",
+                    F.concat(t.path, F.lit("/"), i.cast("string")),
+                    F.lit("Unevaluated items are not allowed")))
+                ).otherwise(empty_violations())
+        else:
+            def emit(pair: Column, i: Column) -> Column:
+                child = VTarget(pair["x"],
+                                F.concat(t.path, F.lit("/"),
+                                         i.cast("string")))
+                return F.when(~pair["e"],
+                              self._node(spec, child, depth + 1)
+                              ).otherwise(empty_violations())
+        return F.when(is_arr,
+                      F.flatten(F.transform(idx_ev, emit))
+                      ).otherwise(empty_violations())
 
     _B64_RE = (r"^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}=="
                r"|[A-Za-z0-9+/]{3}=)?$")
