@@ -66,13 +66,17 @@ def all_pairs_above(df: DataFrame, threshold: float,
         block_col = "__srp_blk"
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
+                  norm(F.col(vec_col)).alias("a_nrm"),
                   *( [F.col(block_col).alias("__blk")] if block_col else []))
     b = df.select(F.col(id_col).alias("b_id"),
                   F.col(vec_col).alias("b_vec"),
+                  norm(F.col(vec_col)).alias("b_nrm"),
                   *( [F.col(block_col).alias("__blk")] if block_col else []))
     joined = (a.join(b, on="__blk") if block_col
               else a.crossJoin(b)).where(F.col("a_id") < F.col("b_id"))
-    sim = cosine(F.col("a_vec"), F.col("b_vec"))
+    # per-vector norms computed on the sides, not per pair
+    sim = dot(F.col("a_vec"), F.col("b_vec")) \
+        / (F.col("a_nrm") * F.col("b_nrm"))
     return (joined.withColumn("sim", sim)
                   .where(F.col("sim") >= threshold)
                   .select("a_id", "b_id", "sim"))
@@ -87,14 +91,19 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     result is deterministic.
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
-                                   F.col(vec_col).alias("q_vec")))
+                                   F.col(vec_col).alias("q_vec"),
+                                   norm(F.col(vec_col)).alias("q_nrm")))
     # parallelism from non-keyed split sizing only — a repartition on the
-    # id would shuffle the full corpus for no semantic benefit
+    # id would shuffle the full corpus for no semantic benefit. Norms are
+    # computed ONCE per vector per side: cosine() inline would recompute
+    # the corpus norm for every (query, neighbor) pair — |Q|x redundant.
     c = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nrm"))
     scored = (q.crossJoin(c)
                .where(F.col("q_id") != F.col("n_id"))
-               .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+               .withColumn("sim", dot(F.col("q_vec"), F.col("n_vec"))
+                                  / (F.col("q_nrm") * F.col("n_nrm"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
@@ -153,11 +162,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
                  F.col(vec_col).alias("n_vec"),
+                 norm(F.col(vec_col)).alias("n_nrm"),
                  F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
-         .select("n_id", "n_vec", F.col("tb.tbl").alias("tbl"),
+         .select("n_id", "n_vec", "n_nrm", F.col("tb.tbl").alias("tbl"),
                  F.col("tb.bucket").alias("bucket")))
     qb = queries.select(F.col(id_col).alias("q_id"),
                         F.col(vec_col).alias("q_vec"),
+                        norm(F.col(vec_col)).alias("q_nrm"),
                         F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
     if probe_dist >= 1:
         probes = F.array_distinct(F.array(
@@ -166,16 +177,19 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
               for i in range(bits)]))
     else:
         probes = F.array(F.col("tb.bucket"))
-    q = F.broadcast(qb.select("q_id", "q_vec",
+    q = F.broadcast(qb.select("q_id", "q_vec", "q_nrm",
                               F.col("tb.tbl").alias("tbl"),
                               F.explode(probes).alias("bucket")))
     cand = (q.join(c, ["tbl", "bucket"])
              .where(F.col("q_id") != F.col("n_id"))
              .groupBy("q_id", "n_id")
              .agg(F.any_value(F.col("q_vec")).alias("q_vec"),
-                  F.any_value(F.col("n_vec")).alias("n_vec")))
+                  F.any_value(F.col("n_vec")).alias("n_vec"),
+                  F.any_value(F.col("q_nrm")).alias("q_nrm"),
+                  F.any_value(F.col("n_nrm")).alias("n_nrm")))
     scored = cand.withColumn(
-        "sim", cosine(F.col("q_vec"), F.col("n_vec")))
+        "sim", dot(F.col("q_vec"), F.col("n_vec"))
+               / (F.col("q_nrm") * F.col("n_nrm")))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
@@ -240,6 +254,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
                  F.col(vec_col).alias("n_vec"),
+                 norm(F.col(vec_col)).alias("n_nrm"),
                  (F.array_position(c_scores, F.array_max(c_scores)) - 1)
                  .cast("int").alias("cell")))
     # query side: indices of the nprobe largest centroid scores —
@@ -253,12 +268,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = F.broadcast(
         queries.select(F.col(id_col).alias("q_id"),
                        F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_nrm"),
                        F.explode(probes).alias("cell0"))
-               .select("q_id", "q_vec",
+               .select("q_id", "q_vec", "q_nrm",
                        F.col("cell0").cast("int").alias("cell")))
     cand = (q.join(c, "cell")
              .where(F.col("q_id") != F.col("n_id"))
-             .withColumn("sim", cosine(F.col("q_vec"), F.col("n_vec"))))
+             .withColumn("sim", dot(F.col("q_vec"), F.col("n_vec"))
+                                / (F.col("q_nrm") * F.col("n_nrm"))))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
