@@ -154,3 +154,21 @@ class TestSkew:
                                       num_partitions=8)
         assert out.count() == docs_df.count()
         assert out.columns == docs_df.columns
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from valico_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame(
+            [("hot", i) for i in range(500)] + [("cold", 0), ("only_l", 1)],
+            "k string, v long")
+        right = spark.createDataFrame(
+            [("hot", "H"), ("cold", "C"), ("only_r", "R")],
+            "k string, tag string")
+        got = salted_join(left, right, "k", n_salts=8)
+        plain = left.join(right, "k")
+        assert got.count() == plain.count() == 501
+        g = {(r["k"], r["v"], r["tag"]) for r in got.collect()}
+        p = {(r["k"], r["v"], r["tag"]) for r in plain.collect()}
+        assert g == p

@@ -165,3 +165,19 @@ class TestNestedDefaults:
         assert tuple(out[1]) == (3, 2)
         assert tuple(out[2]) == (5, 30)
         assert out[3] is None  # NULL parent stays NULL (walker's domain)
+
+
+class TestPartitionPruning:
+    def test_partitioned_layout_prunes_scan(self, spark, docs_df, tmp_path):
+        """Hive-style partitionBy(lang) layout: a lang-filtered query's
+        scan must show the predicate as a PartitionFilter (pruned at
+        planning, zero IO for other partitions) — the disk analogue of
+        the bucketed-join contract."""
+        docs = docs_df.withColumn(
+            "lang", F.coalesce(F.try_element_at(F.col("spans"), F.lit(1))["kind"], F.lit("none")))
+        out = str(tmp_path / "by_lang")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        df = spark.read.parquet(out).where(F.col("lang") == "text")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "lang" in plan.split("PartitionFilters")[1][:120]

@@ -64,3 +64,28 @@ def length_capped_split(df: DataFrame, array_col: str,
         array_col,
         F.slice(F.col(array_col), F.col("__chunk") * max_len + 1, max_len))
     return sliced
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join resilient to hot keys: the LEFT (large, skewed) side
+    gets a random salt per row; the RIGHT side is replicated across all
+    ``n_salts`` salt values, so one hot key's rows spread over
+    ``n_salts`` shuffle partitions instead of one straggler.
+
+    Complements AQE's skew-join (which splits oversized partitions at
+    runtime): explicit salting also covers aggregations-after-join and
+    engines/stages where AQE cannot re-plan. The right side must be the
+    smaller relation — its shuffle volume multiplies by ``n_salts``.
+    Join-key NULLs behave as in a plain equi-join (never match).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(n_salts)).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = (right.withColumn(
+            "__salts",
+            F.sequence(F.lit(0), F.lit(n_salts - 1)))
+          .withColumn("__salt", F.explode(F.col("__salts")))
+          .drop("__salts"))
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
