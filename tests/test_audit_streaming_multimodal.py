@@ -132,6 +132,25 @@ class TestMultimodal:
         again = decode_image(media_payloads.limit(20)).collect()
         assert [r["pixels"][:5] for r in out] == \
                [r["pixels"][:5] for r in again]
+        # exact tiling semantics: pixel j == payload[j % len] / 255
+        payload = {r["media_ref"]: r["payload"]
+                   for r in media_payloads.limit(20).collect()}
+        for r in out[:5]:
+            raw = payload[r["media_ref"]]
+            for j in (0, 1, len(raw), 64 * 64 - 1):
+                assert abs(r["pixels"][j] - raw[j % len(raw)] / 255.0) < 1e-6
+
+    def test_decode_stub_null_payload(self, spark):
+        from valico_spark.operators.multimodal import decode_image
+
+        df = spark.createDataFrame(
+            [("m1", bytearray(b"FAKEabc")), ("m2", None)],
+            "media_ref string, payload binary")
+        rows = {r["media_ref"]: r for r in decode_image(df).collect()}
+        assert rows["m2"]["width"] == 0 and rows["m2"]["pixels"] == []
+        assert rows["m2"]["decoder"] == "null"
+        assert rows["m1"]["decoder"] == "fake-v1"
+        assert len(rows["m1"]["pixels"]) == 64 * 64
 
 
 class TestStreamingDedup:

@@ -11,7 +11,6 @@ import-try (clearly marked), and byte-level feature extraction
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -117,41 +116,57 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
     out_schema = (f"{id_col} string, width int, height int, "
                   f"pixels array<float>, decoder string")
     tw, th = target_size
+    npix = tw * th
 
     def decode(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         try:  # pragma: no cover - not present in this sandbox
             from PIL import Image  # noqa: F401
             have_pil = True
         except ImportError:
             have_pil = False
-        for pdf in batches:
-            rows = {id_col: [], "width": [], "height": [], "pixels": [],
-                    "decoder": []}
-            for ref, payload in zip(pdf[id_col], pdf[payload_col]):
-                rows[id_col].append(ref)
-                if payload is None:
-                    rows["width"].append(0)
-                    rows["height"].append(0)
-                    rows["pixels"].append([])
-                    rows["decoder"].append("null")
-                    continue
-                if have_pil:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path requires PIL wiring; "
-                        "enable when the codec libs are installed")
-                # deterministic fake: tile payload bytes to the target
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                reps = math.ceil(tw * th / max(len(arr), 1))
-                fake = np.tile(arr, reps)[: tw * th].astype(np.float32)
-                rows["width"].append(tw)
-                rows["height"].append(th)
-                rows["pixels"].append((fake / 255.0).tolist())
-                rows["decoder"].append("fake-v1")
-            yield pd.DataFrame(rows)
+        if have_pil:  # pragma: no cover
+            raise NotImplementedError(
+                "real decode path requires PIL wiring; "
+                "enable when the codec libs are installed")
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n = len(col)
+            null_mask = np.asarray(col.is_null())
+            col = pc.fill_null(col.cast(pa.large_binary()), b"")
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+                col.offset: col.offset + n + 1]
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            lens = np.diff(offs)
+            nonnull = ~null_mask
+            has_pix = lens > 0  # null payloads were filled to b"" above
+            # deterministic fake, whole batch in one fancy-index: row i's
+            # pixel j is payload byte (j mod len_i) — the same tiling the
+            # old per-row loop produced, with zero Python per row
+            with_bytes = np.nonzero(has_pix)[0]
+            idx = (offs[with_bytes, None]
+                   + (np.arange(npix, dtype=np.int64)[None, :]
+                      % lens[with_bytes, None]))
+            flat = (data[idx].astype(np.float32)
+                    / np.float32(255.0)).ravel()
+            # null/empty payloads -> empty pixel list via per-row offsets
+            row_npix = np.where(has_pix, npix, 0).astype(np.int32)
+            pix_offsets = np.concatenate(
+                [np.zeros(1, np.int32), np.cumsum(row_npix, dtype=np.int32)])
+            pixels = pa.ListArray.from_arrays(
+                pa.array(pix_offsets), pa.array(flat, pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(np.where(nonnull, tw, 0).astype(np.int32)),
+                 pa.array(np.where(nonnull, th, 0).astype(np.int32)),
+                 pixels,
+                 pc.if_else(pa.array(nonnull), "fake-v1", "null")],
+                names=[id_col, "width", "height", "pixels", "decoder"])
 
-    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
+    return df.select(id_col, payload_col).mapInArrow(decode, out_schema)
 
 
 def generate_media_payloads(n: int, seed: int = 99):
