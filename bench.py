@@ -266,11 +266,20 @@ def main() -> None:
     # the first measured query isn't charged ~4s of one-time startup —
     # every query then reports steady-state cost
     _sink(spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(10_000))
+    # min of two executions per query: the first run charges one-time
+    # plan+codegen plus whatever host-noise episode it lands in (observed
+    # 2-3x swings); the min is the reproducible steady-state cost. Both
+    # runs are reported (queries_first_run keeps the cold numbers).
     qtimes: dict[str, float] = {}
+    qfirst: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         _sink(fn(spark, SF_DIR))
-        qtimes[name] = round(time.time() - t0, 3)
+        first = round(time.time() - t0, 3)
+        t0 = time.time()
+        _sink(fn(spark, SF_DIR))
+        qfirst[name] = first
+        qtimes[name] = min(first, round(time.time() - t0, 3))
 
     total = round(time.time() - t_start, 3)
     print(json.dumps({
@@ -278,6 +287,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "queries_first_run": qfirst,
         "sf": _sf_label(SF_DIR),
         "validation": validation,
     }))
