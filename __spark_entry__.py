@@ -401,6 +401,24 @@ def q_agg_user_profile(spark, sf_dir):
                    F.max("ts").alias("last_ts")))
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via native session_window —
+    one hash aggregate, no global sort; same expression runs under
+    Structured Streaming with a watermark."""
+    from valico_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, ts_col="ts", key_cols=("user_id",),
+                      gap="30 minutes", agg_value_col="value")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: ngram-Jaccard pairs -> connected components
+    (HashMin label propagation) -> canonical representative + size."""
+    from valico_spark.operators.graph import dedup_clusters
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -436,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_supplier_nation": q_referential_supplier_nation,
         "drift_ks_value": q_drift_ks_value,
         "agg_user_profile": q_agg_user_profile,
+        "sessionize_events": q_sessionize_events,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -948,6 +968,64 @@ def oracle_sql() -> dict[str, str]:
                   / greatest(len(a.grams) + len(b.grams)
                              - len(list_intersect(a.grams, b.grams)), 1)
                   >= 0.8
+        """,
+        # spark session_window merges an event at exactly prev+gap
+        # (half-open [start, last+gap)), so a NEW session starts only
+        # when the inter-event gap is STRICTLY greater — hence '>' below
+        "sessionize_events": """
+            WITH d AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_last,
+                   count(*)::BIGINT AS n_events,
+                   max(value) AS max_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
+                         BIGINT) AS VARCHAR) AS blk,
+                     list_distinct([substr(text, i, 3)
+                       FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
+                       AS grams
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))
+                    / greatest(len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams)), 1)
+                    >= 0.8
+            ), edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id, a_id FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT c.id AS doc_id, c.component, s.cluster_size
+            FROM comp c
+            JOIN (SELECT component, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY component) s USING (component)
         """,
     }
 

@@ -1,0 +1,66 @@
+"""Connected components over pair tables (dedup clustering).
+
+Near-dup pair lists (MinHash/SimHash/Jaccard outputs) become usable
+only after clustering: every document needs a canonical representative
+so the pipeline can keep one copy per cluster. Components of the pair
+graph ARE those clusters.
+
+Spark-first shape: HashMin label propagation — each iteration every
+node takes the min(label) of itself and its neighbors, expressed as a
+join + groupBy-min (both shuffles on the node id; converges in
+graph-diameter iterations, and near-dup clusters are shallow). Lineage
+is cut with an eager ``localCheckpoint`` per iteration so the plan does
+not grow exponentially (the standard iterative-algorithm pattern; at
+cluster scale use a checkpoint dir instead). The driver-side loop is
+the algorithm's nature (same as GraphX/Pregel), not a collect of data:
+per iteration only a changed-row COUNT crosses to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id",
+                         max_iter: int = 20) -> DataFrame:
+    """Components of the undirected pair graph: (id, component) with
+    component = smallest id reachable. Only ids present in ``pairs``
+    are returned (singletons are trivially their own component)."""
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+                  .union(pairs.select(F.col(b_col).alias("u"),
+                                      F.col(a_col).alias("v")))
+                  .distinct())
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["v"] == labels["id"])
+                        .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["u"],
+                                  "left")
+                            .select(labels["id"],
+                                    F.least(
+                                        F.col("comp"),
+                                        F.coalesce("nbr_comp", F.col("comp"))
+                                    ).alias("comp"))
+                            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
+                   b_col: str = "b_id") -> DataFrame:
+    """(doc_id, component, cluster_size) for every clustered document —
+    the keep-one-per-cluster decision table (keep id == component)."""
+    comp = connected_components(pairs, a_col, b_col)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(sizes, "comp")
+                .select(F.col("id").alias("doc_id"),
+                        F.col("comp").alias("component"),
+                        F.col("cluster_size")))
