@@ -419,6 +419,22 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_frame_sample_docs(spark, sf_dir):
+    """Multimodal frame sampling over a binary column (documents.text
+    utf-8 bytes stand in for a video payload): every 2nd 64-byte frame,
+    max 4 per doc — bounded codegen fan-out, hex for engine-portable
+    comparison."""
+    from valico_spark.operators.multimodal import sample_frames
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id",
+                           F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = sample_frames(payloads, id_col="doc_id", frame_bytes=64,
+                           every_k=2, max_frames=4)
+    return frames.select("doc_id",
+                         F.col("frame_idx").cast("long").alias("frame_idx"),
+                         F.hex(F.col("frame")).alias("frame_hex"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -456,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_user_profile": q_agg_user_profile,
         "sessionize_events": q_sessionize_events,
         "dedup_clusters": q_dedup_clusters,
+        "frame_sample_docs": q_frame_sample_docs,
     }
 
 
@@ -1026,6 +1043,25 @@ def oracle_sql() -> dict[str, str]:
             FROM comp c
             JOIN (SELECT component, count(*)::BIGINT AS cluster_size
                   FROM comp GROUP BY component) s USING (component)
+        """,
+        # hex of the whole payload sliced by characters (2 hex chars per
+        # byte) == hex of the byte-sliced frame; avoids engine-specific
+        # BLOB slicing while comparing the identical frame bytes
+        "frame_sample_docs": """
+            WITH t AS (
+              SELECT doc_id, hex(encode(text)) AS payload_hex,
+                     CAST(floor(octet_length(encode(text)) / 64)
+                          AS BIGINT) AS nf
+              FROM documents
+            ), e AS (
+              SELECT doc_id, payload_hex,
+                     unnest(generate_series(0, least(nf - 1, 6), 2)) AS i
+              FROM t WHERE nf > 0
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                   substr(payload_hex, CAST(i * 128 + 1 AS BIGINT),
+                          128) AS frame_hex
+            FROM e
         """,
     }
 

@@ -140,6 +140,30 @@ class TestMultimodal:
             for j in (0, 1, len(raw), 64 * 64 - 1):
                 assert abs(r["pixels"][j] - raw[j % len(raw)] / 255.0) < 1e-6
 
+    def test_sample_frames(self, spark):
+        from valico_spark.operators.multimodal import sample_frames
+
+        payload = bytes(range(256)) * 20  # 5120 bytes = 5 frames of 1024
+        df = spark.createDataFrame(
+            [("m1", bytearray(payload)), ("m2", bytearray(b"short")),
+             ("m3", None)],
+            "media_ref string, payload binary")
+        out = sample_frames(df, frame_bytes=1024, every_k=2, max_frames=8)
+        rows = sorted((r["media_ref"], r["frame_idx"], bytes(r["frame"]))
+                      for r in out.collect())
+        # m1: frames 0, 2, 4; m2/m3: too short / null -> no rows
+        assert [(m, i) for m, i, _ in rows] == \
+               [("m1", 0), ("m1", 2), ("m1", 4)]
+        assert rows[0][2] == payload[0:1024]
+        assert rows[1][2] == payload[2048:3072]
+        # bounded fan-out: max_frames caps amplification
+        big = spark.createDataFrame(
+            [("b", bytearray(bytes(100) * 1024))],  # 100 frames
+            "media_ref string, payload binary")
+        capped = sample_frames(big, frame_bytes=1024, every_k=1,
+                               max_frames=8)
+        assert capped.count() == 8
+
     def test_decode_stub_null_payload(self, spark):
         from valico_spark.operators.multimodal import decode_image
 
