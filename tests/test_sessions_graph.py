@@ -32,6 +32,58 @@ class TestSessionize:
         assert str(r["session_last"]) == "2024-01-01 10:10:00"
 
 
+class TestSessionizePlanShape:
+    def test_single_exchange_with_partial_agg(self, spark):
+        """The 100-TB contract: map-side partial session aggregation,
+        exactly ONE shuffle (on the session key), pruned scan."""
+        from valico_spark.operators.sessions import sessionize
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 1.0)],
+            "user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        plan = sessionize(df, agg_value_col="value") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "partial_min" in plan  # map-side combine before the shuffle
+
+    def test_streaming_sessionize_matches_batch(self, spark, tmp_path):
+        """The same sessionize expression runs under Structured Streaming
+        with a watermark (session state evicted past it)."""
+        import time as _time
+
+        from valico_spark.operators.sessions import sessionize
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = [(1, "2024-01-01 10:00:00", 1.0),
+                (1, "2024-01-01 10:10:00", 2.0),
+                (1, "2024-01-01 12:00:00", 3.0),
+                (2, "2024-01-01 10:00:00", 4.0)]
+        batch = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        batch.write.mode("overwrite").parquet(str(src / "p"))
+
+        stream = (spark.readStream.schema(batch.schema)
+                  .parquet(str(src / "p"))
+                  .withWatermark("ts", "1 hour"))
+        out = sessionize(stream, agg_value_col="value")
+        q = (out.writeStream.format("memory").queryName("sess_test")
+                .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            got = sorted((r["user_id"], r["n_events"], r["max_value"])
+                         for r in spark.sql(
+                             "select * from sess_test").collect())
+        finally:
+            q.stop()
+        want = sorted((r["user_id"], r["n_events"], r["max_value"])
+                      for r in sessionize(batch,
+                                          agg_value_col="value").collect())
+        assert got == want
+
+
 class TestConnectedComponents:
     def test_chain_and_triangle(self, spark):
         from valico_spark.operators.graph import connected_components
