@@ -31,24 +31,30 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
                   .union(pairs.select(F.col(b_col).alias("u"),
                                       F.col(a_col).alias("v")))
-                  .distinct())
+                  .distinct()
+                  # materialize once: every iteration joins against edges,
+                  # and the upstream pair plan (LSH/Jaccard) is expensive —
+                  # without the cut it would re-execute per iteration
+                  .localCheckpoint(eager=True))
     labels = (edges.select(F.col("u").alias("id")).distinct()
                    .withColumn("comp", F.col("id")))
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["v"] == labels["id"])
                         .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
-        new_labels = (labels.join(nbr_min, labels["id"] == nbr_min["u"],
-                                  "left")
-                            .select(labels["id"],
-                                    F.least(
-                                        F.col("comp"),
-                                        F.coalesce("nbr_comp", F.col("comp"))
-                                    ).alias("comp"))
-                            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+        # carry the previous label through the projection so convergence
+        # detection is a filter-count on the materialized result, not an
+        # extra join per iteration
+        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["u"],
+                               "left")
+                         .select(labels["id"],
+                                 F.least(
+                                     F.col("comp"),
+                                     F.coalesce("nbr_comp", F.col("comp"))
+                                 ).alias("comp"),
+                                 F.col("comp").alias("prev"))
+                         .localCheckpoint(eager=True))
+        changed = stepped.where(F.col("comp") != F.col("prev")).count()
+        labels = stepped.drop("prev")
         if changed == 0:
             break
     return labels
