@@ -419,6 +419,15 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """Exact whole-corpus Jaccard self-join over 3-word shingles via
+    PPJoin-style prefix filtering — rarest-first shingle prefixes,
+    pigeonhole guarantee, no blocking and no recall loss (contrast
+    dedup_ngram_jaccard's block-quadratic char-gram variant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs_prefix(docs, threshold=0.8, w=3)
+
+
 def q_frame_sample_docs(spark, sf_dir):
     """Multimodal frame sampling over a binary column (documents.text
     utf-8 bytes stand in for a video payload): every 2nd 64-byte frame,
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "dedup_clusters": q_dedup_clusters,
         "frame_sample_docs": q_frame_sample_docs,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     }
 
 
@@ -1062,6 +1072,51 @@ def oracle_sql() -> dict[str, str]:
                    substr(payload_hex, CAST(i * 128 + 1 AS BIGINT),
                           128) AS frame_hex
             FROM e
+        """,
+        # prefix length sz - ceil(0.8*sz) + 1 is computed in IEEE double
+        # arithmetic by both engines (same product, same ceil); row_number
+        # ties are impossible (grams are distinct within a doc)
+        "dedup_jaccard_prefix": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w) - 2, 0) + 1)])
+                       AS grams
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS w
+                    FROM documents)
+            ), b AS (
+              SELECT doc_id, grams, len(grams) AS sz
+              FROM sh WHERE len(grams) > 0
+            ), g AS (
+              SELECT doc_id, sz, unnest(grams) AS gram FROM b
+            ), f AS (
+              SELECT gram, count(*)::BIGINT AS gram_df FROM g GROUP BY gram
+            ), r AS (
+              SELECT g.doc_id, g.sz, g.gram,
+                     row_number() OVER (PARTITION BY g.doc_id
+                                        ORDER BY f.gram_df, g.gram) AS rn
+              FROM g JOIN f USING (gram)
+            ), p AS (
+              SELECT doc_id, gram FROM r
+              WHERE rn <= sz - CAST(ceil(0.8 * sz) AS INT) + 1
+            ), cand AS (
+              SELECT DISTINCT pa.doc_id AS a_id, pb.doc_id AS b_id
+              FROM p pa JOIN p pb
+                ON pa.gram = pb.gram AND pa.doc_id < pb.doc_id
+            )
+            SELECT c.a_id, c.b_id,
+                   len(list_intersect(x.grams, y.grams))
+                   / greatest(len(x.grams) + len(y.grams)
+                              - len(list_intersect(x.grams, y.grams)), 1)
+                     AS jaccard
+            FROM cand c
+            JOIN b x ON c.a_id = x.doc_id
+            JOIN b y ON c.b_id = y.doc_id
+            WHERE len(list_intersect(x.grams, y.grams))
+                  / greatest(len(x.grams) + len(y.grams)
+                             - len(list_intersect(x.grams, y.grams)), 1)
+                  >= 0.8
         """,
     }
 

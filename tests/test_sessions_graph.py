@@ -84,6 +84,46 @@ class TestSessionizePlanShape:
         assert got == want
 
 
+class TestJaccardPrefix:
+    def test_matches_brute_force(self, spark):
+        """Prefix filtering is exact: same pairs as the all-pairs
+        brute-force Jaccard over word shingles."""
+        import itertools
+
+        from valico_spark.operators.dedup import jaccard_pairs_prefix
+
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the deep dark forest tonight").split()
+        docs = []
+        for i in range(12):
+            words = list(base)
+            if i % 3 == 0:
+                words[i % len(words)] = f"tok{i}"   # near-dup of base
+            elif i % 3 == 1:
+                words = [f"w{i}_{j}" for j in range(18)]  # unique doc
+            docs.append((i, " ".join(words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        got = sorted((r["a_id"], r["b_id"], round(r["jaccard"], 6))
+                     for r in jaccard_pairs_prefix(
+                         df, threshold=0.5, w=3).collect())
+
+        def shingles(t):
+            ws = t.split()
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+        want = []
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= 0.5:
+                want.append((min(ia, ib), max(ia, ib), round(j, 6)))
+        assert got == sorted(want)
+        assert len(got) > 0  # the near-dups actually pair up
+
+
 class TestConnectedComponents:
     def test_chain_and_triangle(self, spark):
         from valico_spark.operators.graph import connected_components

@@ -105,6 +105,80 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                   .select("a_id", "b_id", "jaccard"))
 
 
+def word_shingles(text: Column, w: int = 3) -> Column:
+    """Distinct w-word shingles (Broder w-shingling) — the standard
+    near-dup unit for text corpora; unlike char 3-grams the shingle
+    universe is Zipfian with a long rare tail, which is what prefix
+    filtering needs."""
+    words = F.split(F.trim(text), r"\s+")
+    nw = F.size(words)
+    idx = F.sequence(F.lit(0), nw - w)
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, w))))
+    return F.when(nw >= w, sh).otherwise(
+        F.array().cast("array<string>"))
+
+
+def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """ALL pairs with exact word-shingle Jaccard >= threshold via prefix
+    filtering (PPJoin-style) — no blocking, no recall loss.
+
+    Prefix principle: order every doc's shingles by (global document
+    frequency asc, shingle asc); if J(A,B) >= t then |A∩B| >= ceil(t|A|),
+    and the globally-smallest common shingle must sit inside BOTH docs'
+    first ``|S| - ceil(t|S|) + 1`` shingles (pigeonhole on the shared
+    order). So joining only the short rare-first prefixes finds every
+    qualifying pair; candidates are then verified with the exact
+    hashed-shingle Jaccard. Rare-first ordering keeps join buckets
+    small; measured on the sf0.1 corpus it admits ~119k candidates vs
+    11.7M for the same filter over char-3-gram sets (whose "rarest"
+    grams still appear in ~900 docs — wrong token universe for this
+    filter).
+
+    Scale shape: two shingle-keyed shuffles (frequency count + prefix
+    join) and an id-keyed verify join; nothing quadratic outside true
+    candidate groups. ``ceil(threshold * size)`` is evaluated in IEEE
+    double arithmetic identically by Spark and DuckDB, so the oracle
+    can mirror the prefix length bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    base = (ensure_min_partitions(df)
+            .select(F.col(id_col).alias("id"),
+                    word_shingles(F.col(text_col), w).alias("grams"))
+            .withColumn("sz", F.size("grams"))
+            .where(F.col("sz") > 0))
+    g = base.select("id", "sz", F.explode("grams").alias("gram"))
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    ranked = (g.join(freq, "gram")
+               .withColumn("rn", F.row_number().over(
+                   Window.partitionBy("id").orderBy("gram_df", "gram"))))
+    k = (F.col("sz")
+         - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1)
+    prefix = ranked.where(F.col("rn") <= k).select("id", "gram")
+    cand = (prefix.alias("pa").join(prefix.alias("pb"), "gram")
+                  .where(F.col("pa.id") < F.col("pb.id"))
+                  .select(F.col("pa.id").alias("a_id"),
+                          F.col("pb.id").alias("b_id"))
+                  .distinct())
+    hashed = base.select(
+        "id", F.array_distinct(
+            F.transform("grams", lambda s: F.xxhash64(s))).alias("hsh"))
+    a = hashed.select(F.col("id").alias("a_id"), F.col("hsh").alias("a_sh"))
+    b = hashed.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_sh"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
+    sa, sb = F.size("a_sh"), F.size("b_sh")
+    joined = joined.where(
+        F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = sa + sb - inter
+    return (joined.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+                  .where(F.col("jaccard") >= threshold)
+                  .select("a_id", "b_id", "jaccard"))
+
+
 # -- MinHash ----------------------------------------------------------------
 
 def _minhash_params(num_hashes: int, seed: int = 17) -> list[tuple[int, int]]:
