@@ -76,6 +76,36 @@ class TestCoercion:
         assert_error(b, {"a": {}}, "wrong_type", "/a")
         assert_error(b, {"a": [1, 2, {}]}, "wrong_type", "/a/2")
 
+    def test_object_require(self):
+        # tests/dsl/mod.rs:152-164
+        b = dsl.Builder.build(lambda p: p.req_typed("a", dsl.object_()))
+        assert_golden(b, {"a": {}}, {"a": {}})
+        assert_error(b, {"a": []}, "wrong_type", "/a")
+        assert_error(b, {"a": ""}, "wrong_type", "/a")
+
+    def test_object_with_nested(self):
+        # tests/dsl/mod.rs:167-186
+        def nest(p):
+            p.req_typed("b", dsl.f64())
+            p.req_typed("c", dsl.array_of(dsl.string()))
+        b = dsl.Builder.build(
+            lambda p: p.req_nested("a", dsl.object_(), nest))
+        assert_golden(b, {"a": {"b": "1.22", "c": [1.112, ""]}},
+                      {"a": {"b": 1.22, "c": ["1.112", ""]}})
+        assert_error(b, {"a": {"b": "not-f64", "c": [1.112, ""]}},
+                     "wrong_type", "/a/b")
+        assert_error(b, {"a": {"b": "1.22", "c": [1.112, {}]}},
+                     "wrong_type", "/a/c/1")
+
+    def test_opt_typed(self):
+        # tests/dsl/mod.rs:294-303
+        def build(p):
+            p.req_defined("a")
+            p.opt_typed("b", dsl.u64())
+        b = dsl.Builder.build(build)
+        assert_golden(b, {"a": "test"}, {"a": "test"})
+        assert_golden(b, {"a": "test", "b": "1"}, {"a": "test", "b": 1})
+
     def test_array_with_nested(self):
         def nest(p):
             p.req_typed("b", dsl.string())
