@@ -428,6 +428,25 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_pairs_prefix(docs, threshold=0.8, w=3)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization of the embedding column —
+    pure codegen arithmetic, engine-portable codes (exact oracle)."""
+    from valico_spark.operators.similarity import quantize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic hash-keyed stratified sampling: downsample the
+    dominant language, keep the tail — reproducible across engines and
+    reruns (no RNG state)."""
+    from valico_spark.operators.sampling import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, key_col="doc_id", strata_col="lang",
+                            fractions={"en": 0.25}, default_fraction=0.8)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_frame_sample_docs(spark, sf_dir):
     """Multimodal frame sampling over a binary column (documents.text
     utf-8 bytes stand in for a video payload): every 2nd 64-byte frame,
@@ -483,6 +502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "frame_sample_docs": q_frame_sample_docs,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "quantize_embeddings": q_quantize_embeddings,
+        "stratified_sample_docs": q_stratified_sample_docs,
     }
 
 
@@ -1117,6 +1138,37 @@ def oracle_sql() -> dict[str, str]:
                   / greatest(len(x.grams) + len(y.grams)
                              - len(list_intersect(x.grams, y.grams)), 1)
                   >= 0.8
+        """,
+        "quantize_embeddings": """
+            WITH t AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(x)))
+                       AS amax
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN amax = 0 THEN 1.0
+                          ELSE CAST(amax AS DOUBLE) / 127.0 END AS scale
+              FROM t
+            )
+            SELECT vec_id, round(scale, 9) AS scale_r,
+                   list_transform(embedding,
+                                  x -> CAST(round(x / scale) AS INTEGER))
+                     AS qvec
+            FROM s
+        """,
+        # two-step Lehmer hash sampling (one step would be monotonic for
+        # ids < 44486): ((((id % M)*48271) % M)*48271) % M vs
+        # floor(fraction * M), M = 2^31-1 — pure integer arithmetic,
+        # identical in any engine
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE ((((doc_id % 2147483647) * 48271) % 2147483647)
+                   * 48271) % 2147483647
+                  < CASE WHEN lang = 'en'
+                         THEN CAST(0.25 * 2147483647 AS BIGINT)
+                         ELSE CAST(0.8 * 2147483647 AS BIGINT) END
         """,
     }
 

@@ -1,0 +1,78 @@
+"""Deterministic sampling + embedding quantization tests."""
+
+from pyspark.sql import functions as F
+
+
+class TestDeterministicSample:
+    def test_reproducible_and_rate(self, spark):
+        from valico_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(20000).withColumnRenamed("id", "k")
+        s1 = set(r["k"] for r in
+                 deterministic_sample(df, "k", 0.3).collect())
+        s2 = set(r["k"] for r in
+                 deterministic_sample(df.repartition(7), "k", 0.3)
+                 .collect())
+        assert s1 == s2                      # partitioning-independent
+        assert 0.27 < len(s1) / 20000 < 0.33  # close to the target rate
+
+    def test_nested_rates(self, spark):
+        """A 0.1 sample is a subset of the 0.3 sample — same hash, lower
+        threshold; lets pipelines carve nested train/dev splits."""
+        from valico_spark.operators.sampling import deterministic_sample
+
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        small = set(r["k"] for r in
+                    deterministic_sample(df, "k", 0.1).collect())
+        big = set(r["k"] for r in
+                  deterministic_sample(df, "k", 0.3).collect())
+        assert small <= big
+
+    def test_stratified_rates(self, spark):
+        from valico_spark.operators.sampling import stratified_sample
+
+        df = spark.range(10000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+             .alias("lang"))
+        out = stratified_sample(df, "k", "lang",
+                                {"en": 0.2}, default_fraction=0.9)
+        counts = {r["lang"]: r["n"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("n"))
+                     .collect()}
+        assert 0.15 < counts["en"] / 5000 < 0.25
+        assert 0.85 < counts["de"] / 5000 < 0.95
+
+
+class TestQuantize:
+    def test_round_trip_error_bound(self, spark):
+        from valico_spark.operators.similarity import (dequantize,
+                                                       quantize_embeddings)
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.01/embeddings.parquet")
+        q = quantize_embeddings(emb)
+        joined = q.join(emb, "vec_id").select(
+            "vec_id",
+            F.array_max(F.zip_with(
+                dequantize(F.col("qvec"), F.col("scale_r")),
+                F.col("embedding"),
+                lambda a, b: F.abs(a - b))).alias("max_err"),
+            (F.array_max(F.transform("embedding",
+                                     lambda x: F.abs(x)))
+             / 254.0).alias("half_step"))
+        # |dequant - orig| <= scale/2 = max|x|/254 (+ float eps)
+        bad = joined.where(
+            F.col("max_err") > F.col("half_step") * 1.01).count()
+        assert bad == 0
+
+    def test_zero_vector(self, spark):
+        from valico_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, -1.0])],
+            "vec_id long, embedding array<float>")
+        rows = {r["vec_id"]: r for r in
+                quantize_embeddings(df).collect()}
+        assert rows[1]["qvec"] == [0, 0] and rows[1]["scale_r"] == 1.0
+        assert rows[2]["qvec"] == [127, -127]

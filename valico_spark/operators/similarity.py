@@ -38,6 +38,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization: 4x smaller embedding
+    storage (the difference between 100 TB and 25 TB of vectors) at
+    <1% cosine error for unit-ish vectors.
+
+    scale = max|x| / 127 (1.0 for all-zero vectors); q_i =
+    round(x_i / scale). Pure codegen arithmetic — float->double
+    promotion, IEEE division, round-half-away-from-zero — identical in
+    any engine, so the quantized codes are portable and oracle-able.
+    Dequantize with ``transform(qvec, q -> q * scale)``.
+    """
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    return (df.withColumn("scale", scale)
+              .select(F.col(id_col),
+                      F.round(F.col("scale"), 9).alias("scale_r"),
+                      F.transform(
+                          F.col(vec_col),
+                          lambda x: F.round(x / F.col("scale"))
+                                     .cast("int")).alias("qvec")))
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """Inverse of ``quantize_embeddings`` (array<int>, scale) ->
+    array<float>."""
+    return F.transform(qvec, lambda q: (q * scale).cast("float"))
+
+
 def all_pairs_above(df: DataFrame, threshold: float,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
