@@ -428,6 +428,22 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_pairs_prefix(docs, threshold=0.8, w=3)
 
 
+def q_pii_redact_docs(spark, sf_dir):
+    """PII scrub stage: deterministic synthetic PII appended per doc
+    (driver tables carry none), then per-type hit counts + redacted
+    text — chained RE2-safe global regexp_replace, exact oracle."""
+    from valico_spark.operators.text import pii_stats
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".1")).alias("text"))
+    return pii_stats(injected)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column —
     pure codegen arithmetic, engine-portable codes (exact oracle)."""
@@ -504,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "pii_redact_docs": q_pii_redact_docs,
     }
 
 
@@ -567,7 +584,34 @@ def _lang_score_sql(lang: str, words: list[str]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from valico_spark.operators.text import LANG_MARKERS, STOPWORDS
+    from valico_spark.operators.text import (LANG_MARKERS, PII_PATTERNS,
+                                             STOPWORDS)
+
+    # PII oracle built from the SAME pattern list the operator compiles,
+    # so the two sides cannot drift
+    def _q(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    pii_counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, {_q(p)}))::BIGINT AS n_{n}"
+        for n, p in PII_PATTERNS)
+    pii_redacted = "text"
+    for n, p in PII_PATTERNS:
+        pii_redacted = (f"regexp_replace({pii_redacted}, {_q(p)}, "
+                        f"'<{n.upper()}>', 'g')")
+    pii_sql = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {pii_counts},
+                   {pii_redacted} AS redacted
+            FROM t
+        """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     lang_scores = ",\n  ".join(
@@ -1170,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(0.25 * 2147483647 AS BIGINT)
                          ELSE CAST(0.8 * 2147483647 AS BIGINT) END
         """,
+        "pii_redact_docs": pii_sql,
     }
 
 

@@ -44,6 +44,29 @@ class TestDeterministicSample:
         assert 0.85 < counts["de"] / 5000 < 0.95
 
 
+class TestPiiRedaction:
+    def test_redacts_each_type(self, spark):
+        from valico_spark.operators.text import pii_stats
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-y.org, ip 10.0.0.1, card "
+                 "4111 1111 1111 1111, tel +44 20 7946 0958"),
+             (2, "clean text with numbers 7 and 1999")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
+        r1 = rows[1]
+        assert (r1["n_email"], r1["n_card"], r1["n_ipv4"]) == (1, 1, 1)
+        assert r1["n_phone"] >= 1
+        for token in ("<EMAIL>", "<CARD>", "<IPV4>", "<PHONE>"):
+            assert token in r1["redacted"]
+        assert "@" not in r1["redacted"]
+        assert "4111" not in r1["redacted"]
+        r2 = rows[2]
+        assert r2["redacted"] == "clean text with numbers 7 and 1999"
+        assert (r2["n_email"], r2["n_card"], r2["n_ipv4"],
+                r2["n_phone"]) == (0, 0, 0, 0)
+
+
 class TestQuantize:
     def test_round_trip_error_bound(self, spark):
         from valico_spark.operators.similarity import (dequantize,

@@ -113,3 +113,42 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         tok_h, F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(FP_MOD).cast("long"))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# -- PII redaction -----------------------------------------------------------
+
+# Order matters: emails before bare domains, long digit runs (cards)
+# before phones. Patterns are deliberately RE2-safe (no lookaround, no
+# backreferences) so any engine — Spark's Java regex, DuckDB/RE2 —
+# produces identical redactions; that portability is what makes the
+# redaction auditable with an independent oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b(?:\d[ -]?){13,16}\d\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, card-like digit runs, IPv4 addresses, and phone
+    numbers with ``<TYPE>`` tokens — chained global regexp_replace,
+    pure codegen, no Python."""
+    out = text
+    for name, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"<{name.upper()}>")
+    return out
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts + the redacted text — the scrub
+    stage of a training-data pipeline, with the counts kept for
+    filtering decisions (e.g. drop documents above a PII density)."""
+    cols = [F.col(id_col)]
+    for name, pattern in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(pattern), 0))
+            .cast("long").alias(f"n_{name}"))
+    cols.append(redact_pii(F.col(text_col)).alias("redacted"))
+    return df.select(*cols)
