@@ -428,6 +428,14 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_pairs_prefix(docs, threshold=0.8, w=3)
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-line fraction
+    (per-row array expr) + top-bigram share (two hash aggregates)."""
+    from valico_spark.operators.text import repetition_scores
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs)
+
+
 def q_pii_redact_docs(spark, sf_dir):
     """PII scrub stage: deterministic synthetic PII appended per doc
     (driver tables carry none), then per-type hit counts + redacted
@@ -521,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_sample_docs": q_stratified_sample_docs,
         "pii_redact_docs": q_pii_redact_docs,
+        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -1215,6 +1224,44 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(0.8 * 2147483647 AS BIGINT) END
         """,
         "pii_redact_docs": pii_sql,
+        "repetition_scores": """
+            WITH l AS (
+              SELECT doc_id,
+                     len(string_split(text, chr(10)))::BIGINT AS n_lines,
+                     round(1.0 -
+                           len(list_distinct(string_split(text, chr(10))))
+                           / greatest(len(string_split(text, chr(10))), 1),
+                           6) AS dup_line_frac
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents
+            ), bgl AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2 THEN
+                       [array_to_string(ws[i:i+1], ' ')
+                        FOR i IN range(1, len(ws))]
+                     ELSE [] END AS bgs
+              FROM w
+            ), bg AS (
+              SELECT doc_id, unnest(bgs) AS bg FROM bgl
+            ), c AS (
+              SELECT doc_id, bg, count(*) AS c
+              FROM bg GROUP BY doc_id, bg
+            ), t AS (
+              SELECT doc_id, max(c)::BIGINT AS top_bigram_n,
+                     sum(c)::BIGINT AS n_bigrams
+              FROM c GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+                   coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+                   coalesce(t.n_bigrams, 0) AS n_bigrams,
+                   round(coalesce(t.top_bigram_n, 0)
+                         / greatest(coalesce(t.n_bigrams, 0), 1), 6)
+                     AS top_bigram_frac
+            FROM l LEFT JOIN t USING (doc_id)
+        """,
     }
 
 

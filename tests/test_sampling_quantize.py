@@ -67,6 +67,30 @@ class TestPiiRedaction:
                 r2["n_phone"]) == (0, 0, 0, 0)
 
 
+class TestRepetitionScores:
+    def test_signals(self, spark):
+        from valico_spark.operators.text import repetition_scores
+
+        df = spark.createDataFrame(
+            [(1, "menu\nmenu\nmenu\nbody text here"),
+             (2, "buy now buy now buy now buy now"),
+             (3, "all lines differ\ncompletely from\neach other"),
+             (4, "one")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                repetition_scores(df).collect()}
+        assert rows[1]["n_lines"] == 4
+        assert abs(rows[1]["dup_line_frac"] - 0.5) < 1e-9  # 2 dup of 4
+        # "buy now"x4 + "now buy"x3 -> top share 4/7
+        assert rows[2]["top_bigram_n"] == 4
+        assert rows[2]["n_bigrams"] == 7
+        assert abs(rows[2]["top_bigram_frac"] - 4 / 7) < 1e-6
+        assert rows[3]["dup_line_frac"] == 0.0
+        # single word: no bigrams, no crash
+        assert rows[4]["n_bigrams"] == 0
+        assert rows[4]["top_bigram_frac"] == 0.0
+
+
 class TestQuantize:
     def test_round_trip_error_bound(self, spark):
         from valico_spark.operators.similarity import (dequantize,

@@ -152,3 +152,50 @@ def pii_stats(df: DataFrame, text_col: str = "text",
             .cast("long").alias(f"n_{name}"))
     cols.append(redact_pii(F.col(text_col)).alias("redacted"))
     return df.select(*cols)
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals for quality filtering:
+
+    * ``dup_line_frac`` — 1 - distinct/total lines (boilerplate, menus,
+      chat headers repeat lines);
+    * ``top_bigram_frac`` — share of the most frequent word bigram
+      among all bigram occurrences (degenerate generations repeat one
+      phrase).
+
+    The line metrics are per-row array expressions (no shuffle); the
+    bigram mode needs a (doc, bigram) count -> per-doc max, two
+    hash aggregates with map-side combine — the canonical scalable
+    shape for per-document modes.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    line_part = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
+                / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"))
+
+    words = F.split(F.trim(text), r"\s+")
+    nw = F.size(words)
+    bigrams = F.when(nw >= 2, F.transform(
+        F.sequence(F.lit(0), nw - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+    top = (bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+             .groupBy(id_col)
+             .agg(F.max("c").cast("long").alias("top_bigram_n"),
+                  F.sum("c").cast("long").alias("n_bigrams")))
+    return (line_part.join(top, id_col, "left")
+            .select(F.col(id_col), "n_lines", "dup_line_frac",
+                    F.coalesce("top_bigram_n", F.lit(0)).cast("long")
+                     .alias("top_bigram_n"),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                     .alias("n_bigrams"),
+                    F.round(F.coalesce("top_bigram_n", F.lit(0))
+                            / F.greatest(F.coalesce("n_bigrams", F.lit(0)),
+                                         F.lit(1)), 6)
+                     .alias("top_bigram_frac")))
