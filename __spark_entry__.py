@@ -428,6 +428,14 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_pairs_prefix(docs, threshold=0.8, w=3)
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """Token budgeting with a BPE-ish (GPT-2-style) pretokenizer regex
+    — identical tokenization in Java regex and RE2, exact oracle."""
+    from valico_spark.operators.text import bpe_token_stats
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_stats(docs)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition quality signals: duplicate-line fraction
     (per-row array expr) + top-bigram share (two hash aggregates)."""
@@ -530,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "pii_redact_docs": q_pii_redact_docs,
         "repetition_scores": q_repetition_scores,
+        "bpe_token_stats": q_bpe_token_stats,
     }
 
 
@@ -608,6 +617,20 @@ def oracle_sql() -> dict[str, str]:
     for n, p in PII_PATTERNS:
         pii_redacted = (f"regexp_replace({pii_redacted}, {_q(p)}, "
                         f"'<{n.upper()}>', 'g')")
+    from valico_spark.operators.text import BPE_ISH_PATTERN
+    bpe_sql = f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, {_q(BPE_ISH_PATTERN)}))
+                     ::BIGINT AS n_bpe_tokens,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != ''))::BIGINT AS n_ws_tokens,
+                   round(length(text) /
+                         greatest(len(regexp_extract_all(text,
+                                      {_q(BPE_ISH_PATTERN)})), 1), 6)
+                     AS chars_per_token
+            FROM documents
+        """
+
     pii_sql = f"""
             WITH t AS (
               SELECT doc_id,
@@ -1224,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE CAST(0.8 * 2147483647 AS BIGINT) END
         """,
         "pii_redact_docs": pii_sql,
+        "bpe_token_stats": bpe_sql,
         "repetition_scores": """
             WITH l AS (
               SELECT doc_id,

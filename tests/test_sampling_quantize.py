@@ -91,6 +91,20 @@ class TestRepetitionScores:
         assert rows[4]["top_bigram_frac"] == 0.0
 
 
+class TestBpeTokenStats:
+    def test_counts(self, spark):
+        from valico_spark.operators.text import bpe_token_stats
+
+        df = spark.createDataFrame(
+            [(1, "The fox's 42 jumps, doesn't it?")],
+            "doc_id long, text string")
+        r = bpe_token_stats(df).collect()[0]
+        # The| fox|'s| 42| jumps|,| doesn|'t| it|?
+        assert r["n_bpe_tokens"] == 10
+        assert r["n_ws_tokens"] == 6
+        assert r["chars_per_token"] == round(31 / 10, 6)
+
+
 class TestQuantize:
     def test_round_trip_error_bound(self, spark):
         from valico_spark.operators.similarity import (dequantize,

@@ -199,3 +199,30 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
                             / F.greatest(F.coalesce("n_bigrams", F.lit(0)),
                                          F.lit(1)), 6)
                      .alias("top_bigram_frac")))
+
+
+# GPT-2-style pretokenizer pattern, restricted to constructs Java regex
+# and RE2 tokenize identically (no \p classes, no lookahead): English
+# contractions, space-prefixed letter/digit runs, a punctuation/other
+# fallback bucket (catches CJK), and whitespace runs.
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                   r"| ?[^\sA-Za-z0-9']+|\s+")
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex — the budget
+    currency of an LLM pipeline is tokens, not characters, and a
+    GPT-2-style split tracks real tokenizer counts far better than
+    whitespace words. Emits the whitespace count too so the ratio is
+    available for filtering (code/CJK-heavy docs skew it)."""
+    text = F.col(text_col)
+    pieces = F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+    ws = tokens(text)
+    n_pieces = F.size(pieces).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_pieces.alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(F.length(text) / F.greatest(n_pieces, F.lit(1)), 6)
+         .alias("chars_per_token"))
