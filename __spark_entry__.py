@@ -460,6 +460,19 @@ def q_pii_redact_docs(spark, sf_dir):
     return pii_stats(injected)
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: every 10th document plays the role of
+    a held-out eval set; the report flags corpus documents sharing any
+    verbatim 8-word n-gram with it (only true near-dups hit at this
+    gram length). Benchmark side is broadcast-small; corpus side never
+    shuffles before the inner join prunes it (exact oracle)."""
+    from valico_spark.operators.decontam import contamination_report
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return contamination_report(corpus, bench, n=8)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column —
     pure codegen arithmetic, engine-portable codes (exact oracle)."""
@@ -539,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": q_pii_redact_docs,
         "repetition_scores": q_repetition_scores,
         "bpe_token_stats": q_bpe_token_stats,
+        "decontaminate_docs": q_decontaminate_docs,
     }
 
 
@@ -1285,6 +1299,34 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(t.n_bigrams, 0), 1), 6)
                      AS top_bigram_frac
             FROM l LEFT JOIN t USING (doc_id)
+        """,
+        "decontaminate_docs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+7], ' ')
+                       FOR i IN range(1, greatest(len(w) - 7, 0) + 1)])
+                       AS grams
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\\s+') AS w
+                    FROM documents)
+            ), b AS (
+              SELECT doc_id, grams, len(grams) AS doc_grams
+              FROM sh WHERE len(grams) > 0
+            ), corp AS (
+              SELECT doc_id, doc_grams, unnest(grams) AS gram
+              FROM b WHERE doc_id % 10 <> 0
+            ), bench AS (
+              SELECT DISTINCT doc_id AS bench_id, unnest(grams) AS gram
+              FROM b WHERE doc_id % 10 = 0
+            )
+            SELECT corp.doc_id, corp.doc_grams,
+                   count(DISTINCT corp.gram)::BIGINT AS hit_grams,
+                   count(DISTINCT bench.bench_id)::BIGINT AS bench_docs,
+                   round(count(DISTINCT corp.gram)
+                         / CAST(corp.doc_grams AS DOUBLE), 9)
+                     AS contamination_r
+            FROM corp JOIN bench USING (gram)
+            GROUP BY corp.doc_id, corp.doc_grams
         """,
     }
 

@@ -181,3 +181,46 @@ class TestIvfTopk:
                             centroids=cents)
         after = tracker.getJobIdsForGroup(None)
         assert before == after
+
+
+class TestDecontamination:
+    def _tables(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (2, "alpha beta gamma delta epsilon zeta eta theta KAPPA"),
+             (3, "totally different words with no overlap at all here"),
+             (4, "short doc")],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100,
+              "xx alpha beta gamma delta epsilon zeta eta theta iota yy")],
+            "doc_id long, text string")
+        return docs, bench
+
+    def test_report_matches_brute_force(self, spark):
+        from valico_spark.operators.decontam import contamination_report
+
+        docs, bench = self._tables(spark)
+        rows = {r.doc_id: r for r in
+                contamination_report(docs, bench, n=8).collect()}
+        # doc 1: grams {w1..w8, w2..w9}; bench shares both
+        assert rows[1].hit_grams == 2 and rows[1].doc_grams == 2
+        assert rows[1].bench_docs == 1
+        assert abs(rows[1].contamination_r - 1.0) < 1e-9
+        # doc 2 ends differently: only the first 8-gram is shared
+        assert rows[2].hit_grams == 1 and rows[2].doc_grams == 2
+        # clean + too-short docs are absent from the report
+        assert 3 not in rows and 4 not in rows
+
+    def test_decontaminate_drops_only_contaminated(self, spark):
+        from valico_spark.operators.decontam import decontaminate
+
+        docs, bench = self._tables(spark)
+        kept = sorted(r.doc_id for r in
+                      decontaminate(docs, bench, n=8).collect())
+        assert kept == [3, 4]
+        # threshold keeps the partially-contaminated doc
+        kept_t = sorted(r.doc_id for r in
+                        decontaminate(docs, bench, n=8,
+                                      max_contamination=0.6).collect())
+        assert kept_t == [2, 3, 4]

@@ -1,0 +1,92 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (GPT-3 used 13-gram overlap,
+most open pipelines use 8-13): any document containing a verbatim
+n-word sequence from a held-out benchmark is contamination and must be
+dropped or audited before training.
+
+Scale shape: the benchmark side is MBs against a corpus of TBs, so its
+distinct (gram, bench_id) table is genuinely broadcastable — the join
+is then map-side over the exploded corpus grams with NO corpus shuffle;
+only the per-doc aggregation shuffles, keyed on doc_id, and only for
+documents that actually hit (inner join prunes the rest first). We
+leave the broadcast decision to AQE rather than forcing the hint: a
+pathological "benchmark" as big as the corpus degrades to a plain
+shuffle join instead of OOMing executors (same policy as
+``uniqueness_violations``). Gram strings stay raw (not hashed) because
+the broadcast build side makes key width irrelevant; at petabyte scale
+with a *shuffled* join you would xxhash64 the gram first as
+``jaccard_pairs_prefix``'s verify step does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from valico_spark.operators.dedup import word_shingles
+from valico_spark.operators.util import ensure_min_partitions
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame,
+                         n: int = 8,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         bench_id_col: str = "doc_id",
+                         bench_text_col: str = "text") -> DataFrame:
+    """Per-document contamination report against a benchmark corpus.
+
+    Returns one row per *contaminated* document (>=1 shared n-gram):
+    ``doc_id``, ``doc_grams`` (distinct n-grams in the document),
+    ``hit_grams`` (distinct n-grams also present anywhere in the
+    benchmark), ``bench_docs`` (distinct benchmark documents sharing at
+    least one gram), ``contamination_r`` (hit_grams/doc_grams rounded
+    to 9 places). Documents with zero overlap are absent — at corpus
+    scale the report is tiny relative to the input, which is the point.
+
+    The dual count-distinct does cost a Catalyst Expand (x2), but it
+    runs over the post-join *hit* rows only — already pruned to the
+    contaminated sliver — never over the corpus grams.
+    """
+    corp = (ensure_min_partitions(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    word_shingles(F.col(text_col), n).alias("grams"))
+            .withColumn("doc_grams", F.size("grams"))
+            .where(F.col("doc_grams") > 0))
+    corp_g = corp.select("doc_id", "doc_grams",
+                         F.explode("grams").alias("gram"))
+    bench_g = (benchmark
+               .select(F.col(bench_id_col).alias("bench_id"),
+                       F.explode(word_shingles(F.col(bench_text_col), n))
+                        .alias("gram"))
+               .distinct())
+    hits = corp_g.join(bench_g, "gram")
+    return (hits.groupBy("doc_id", "doc_grams")
+                .agg(F.countDistinct("gram").alias("hit_grams"),
+                     F.countDistinct("bench_id").alias("bench_docs"))
+                .withColumn(
+                    "contamination_r",
+                    F.round(F.col("hit_grams")
+                            / F.col("doc_grams").cast("double"), 9))
+                .select("doc_id", "doc_grams", "hit_grams", "bench_docs",
+                        "contamination_r"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  max_contamination: float = 0.0,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Drop contaminated documents from ``docs``.
+
+    A document survives iff its contamination fraction is <=
+    ``max_contamination`` (default 0: any shared n-gram removes it).
+    Implemented as a left anti join of the corpus against the (tiny)
+    contaminated-id set — no second scan of the text.
+    """
+    bad = (contamination_report(docs, benchmark, n=n, id_col=id_col,
+                                text_col=text_col,
+                                bench_id_col=bench_id_col,
+                                bench_text_col=bench_text_col)
+           .where(F.col("contamination_r") > max_contamination)
+           .select(F.col("doc_id").alias("__bad_id")))
+    return docs.join(bad, docs[id_col] == bad["__bad_id"], "left_anti")
