@@ -848,7 +848,11 @@ class ColumnCompiler:
         "json-pointer": r"^(/([^/~]|~[01])*)*$",
         "relative-json-pointer": r"^(/([^/~]|~[01])*)*$",
         "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*$",
-        "email": (r"^[A-Za-z0-9!#$%&'*+/=?^_`{|}~.-]{1,64}@"
+        # local part is dot-atom (no leading/trailing/double dots), <=64
+        # chars enforced by the lookahead (Java regex, rlike)
+        "email": (r"^(?=[^@]{1,64}@)"
+                  r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+"
+                  r"(\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*@"
                   r"([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
                   r"[A-Za-z]{2,}$"),
         "hostname": (r"^([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
