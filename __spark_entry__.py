@@ -473,6 +473,31 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def _semdedup_centroids():
+    """Deterministic literal centroids shared verbatim by the Spark plan
+    and the generated DuckDB oracle (rounded to 6 decimals so both
+    engines parse the identical doubles). Production trains these with
+    spherical k-means offline; correctness is centroid-agnostic."""
+    import numpy as np
+    rng = np.random.default_rng(123)
+    c = rng.standard_normal((4, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup: coarse IVF cells bound the
+    quadratic cosine join (the scale path for embedding near-dup when no
+    natural blocking column exists); drops every vector with a lower-id
+    in-cell neighbor above threshold (exact oracle over the same literal
+    centroids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rep = similarity.semantic_dedup(emb, threshold=0.45,
+                                    centroids=_semdedup_centroids())
+    return rep.select("dropped_id", "kept_id", "cell",
+                      F.round("max_sim", 4).alias("max_sim_r"))
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column —
     pure codegen arithmetic, engine-portable codes (exact oracle)."""
@@ -553,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate_docs": q_decontaminate_docs,
+        "semdedup_embeddings": q_semdedup_embeddings,
     }
 
 
@@ -657,6 +683,40 @@ def oracle_sql() -> dict[str, str]:
                    {pii_counts},
                    {pii_redacted} AS redacted
             FROM t
+        """
+
+    # semantic dedup: the SAME literal centroids as the Spark plan,
+    # printed at the 6-decimal precision they were rounded to — both
+    # engines parse identical doubles, so cell argmax and cosine agree
+    # bit-for-bit
+    _cents = _semdedup_centroids()
+    _arr = lambda c: "[" + ",".join(f"{v:.6f}" for v in c) + "]"
+    _scores = "[" + ",".join(
+        f"list_dot_product(ed, {_arr(c)})" for c in _cents) + "]"
+    semdedup_sql = f"""
+            WITH c AS (
+              SELECT vec_id AS vid,
+                     list_transform(embedding, x -> x::DOUBLE) AS ed
+              FROM embeddings
+            ), s AS (
+              SELECT vid, ed, {_scores} AS scores FROM c
+            ), cells AS (
+              SELECT vid, ed,
+                     CAST(list_position(scores, list_max(scores)) - 1
+                          AS INT) AS cell
+              FROM s
+            ), p AS (
+              SELECT a.vid AS a_id, b.vid AS b_id, b.cell AS cell,
+                     list_dot_product(a.ed, b.ed)
+                     / (sqrt(list_dot_product(a.ed, a.ed))
+                        * sqrt(list_dot_product(b.ed, b.ed))) AS sim
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vid < b.vid
+            )
+            SELECT b_id AS dropped_id, min(a_id) AS kept_id, cell,
+                   round(max(sim), 4) AS max_sim_r
+            FROM p WHERE sim >= 0.45
+            GROUP BY b_id, cell
         """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1328,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corp JOIN bench USING (gram)
             GROUP BY corp.doc_id, corp.doc_grams
         """,
+        "semdedup_embeddings": semdedup_sql,
     }
 
 

@@ -224,3 +224,39 @@ class TestDecontamination:
                         decontaminate(docs, bench, n=8,
                                       max_contamination=0.6).collect())
         assert kept_t == [2, 3, 4]
+
+
+class TestSemanticDedup:
+    def test_drops_seeded_near_dups_with_high_recall(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((40, 16))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        dup = base[:15] + 0.02 * rng.standard_normal((15, 16))
+        rows = [(i, v.tolist()) for i, v in enumerate(base)]
+        rows += [(100 + i, v.tolist()) for i, v in enumerate(dup)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        rep = similarity.semantic_dedup(df, threshold=0.95, n_centroids=4,
+                                        sample_size=100, seed=3)
+        got = {r.dropped_id: r.kept_id for r in rep.collect()}
+        # ground truth: every seeded dup has exactly its base above 0.95
+        truth = {100 + i: i for i in range(15)}
+        hits = sum(1 for d, k in got.items() if truth.get(d) == k)
+        assert hits >= 13, f"recall {hits}/15: {got}"
+        # nothing outside the seeded dups is dropped
+        assert all(d in truth for d in got)
+
+    def test_precomputed_centroids_skip_sampling_job(self, spark):
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(i, np.eye(8)[i % 8].tolist()) for i in range(16)],
+            "vec_id long, embedding array<double>")
+        cents = np.eye(8)[:4]
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        similarity.semantic_dedup(df, threshold=0.99, centroids=cents)
+        after = tracker.getJobIdsForGroup(None)
+        assert before == after

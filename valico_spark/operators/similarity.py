@@ -309,3 +309,52 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return (cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("q_id", "n_id", "rank", "sim"))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, sample_size: int = 4096,
+                   seed: int = 7, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: "np.ndarray | None" = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings into
+    coarse cells, then drop every vector with a lower-id near-duplicate
+    (cosine >= threshold) in its cell.
+
+    The cells are what makes this the 100 TB path: the quadratic pair
+    join runs only WITHIN a cell (candidate fraction ~ 1/n_centroids of
+    the square), and cell assignment is one shuffle-free map stage over
+    literal centroids — the same inverted-file layout as ``ivf_topk``.
+    Recall is bounded by both near-dups landing in the same coarse cell,
+    which for cosine >= 0.95 pairs is the overwhelmingly common case
+    (they sit within ~18 degrees of each other).
+
+    Returns the report of DROPPED vectors: ``dropped_id``, ``kept_id``
+    (the minimum lower id above threshold — the surviving
+    representative), ``cell``, ``max_sim`` (highest similarity to any
+    lower-id neighbor). Anti-join the report against the corpus to
+    materialize survivors.
+
+    Pass precomputed ``centroids`` (train once offline, reuse) to skip
+    the sampling job and make runs engine-reproducible.
+    """
+    if centroids is None:
+        rows = (df.select(id_col, vec_col)
+                  .orderBy(id_col).limit(int(sample_size))
+                  .select(vec_col).collect())
+        sample = np.array([r[0] for r in rows], dtype=float)
+        centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    cells = (ensure_min_partitions(df)
+             .select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).alias("vec"),
+                     (F.array_position(scores, F.array_max(scores)) - 1)
+                     .cast("int").alias("cell")))
+    pairs = all_pairs_above(cells, threshold, id_col="vid",
+                            vec_col="vec", block_col="cell")
+    cell_of = cells.select(F.col("vid").alias("b_id"), "cell")
+    return (pairs.groupBy("b_id")
+                 .agg(F.min("a_id").alias("kept_id"),
+                      F.max("sim").alias("max_sim"))
+                 .join(cell_of, "b_id")
+                 .select(F.col("b_id").alias("dropped_id"), "kept_id",
+                         "cell", "max_sim"))
