@@ -208,3 +208,70 @@ class TestStreamingDedup:
         got = spark.sql("SELECT key FROM dedup_sink").collect()
         keys = sorted(r["key"] for r in got)
         assert keys == ["k1", "k2", "k3"]
+
+
+class TestStreamingDrift:
+    def _events(self, spark):
+        rows = []
+        # window 1 matches the reference mix (8 a : 4 b); window 2 drifts
+        # (all b) and adds a category the reference lacks
+        for i in range(8):
+            rows.append((f"2024-01-01 00:00:{10+i:02d}", "a"))
+        for i in range(4):
+            rows.append((f"2024-01-01 00:00:{30+i:02d}", "b"))
+        for i in range(6):
+            rows.append((f"2024-01-01 00:01:{10+i:02d}", "b"))
+        rows.append(("2024-01-01 00:01:20", "novel"))
+        return spark.createDataFrame(rows, ["ts_s", "cat"]).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def _reference(self, spark):
+        return spark.createDataFrame(
+            [("a",)] * 2 + [("b",)], ["cat"])
+
+    def test_stream_counts_plus_finisher_match_batch_chi_square(
+            self, spark, tmp_path):
+        from valico_spark.operators.drift import chi_square
+        from valico_spark.streaming.drift_stream import (
+            chi_square_by_window, reference_shares,
+            windowed_category_counts,
+        )
+
+        ev = self._events(spark)
+        src = str(tmp_path / "drift_src")
+        ev.write.parquet(src)
+        stream = (spark.readStream.schema(ev.schema).parquet(src))
+        counts = windowed_category_counts(stream, "ts", "cat",
+                                          window="1 minute")
+        # complete mode: on this bounded source the watermark never
+        # passes the last window's end, so append would emit nothing;
+        # production feeds use append and windows emit as they close
+        q = (counts.writeStream.format("memory")
+             .queryName("drift_counts").outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            streamed = spark.sql("select * from drift_counts")
+            ref = self._reference(spark)
+            got = {str(r.window_start): (round(r.statistic, 9), r.df,
+                                         r.n_obs)
+                   for r in chi_square_by_window(
+                       streamed, reference_shares(ref, "cat")).collect()}
+        finally:
+            q.stop()
+
+        # batch ground truth: drift.chi_square per window slice
+        batch = {}
+        for start, lo, hi in ((" 00:00:00", "00:00:00", "00:01:00"),
+                              (" 00:01:00", "00:01:00", "00:02:00")):
+            sl = ev.where(
+                (F.col("ts") >= f"2024-01-01 {lo}")
+                & (F.col("ts") < f"2024-01-01 {hi}"))
+            r = chi_square(sl, self._reference(spark), "cat").collect()[0]
+            batch["2024-01-01" + start] = (round(r.statistic, 9), r.df,
+                                           r.n_obs)
+        assert got == batch
+        # drifted window carries a much larger statistic
+        assert got["2024-01-01 00:01:00"][0] > \
+            got["2024-01-01 00:00:00"][0]
