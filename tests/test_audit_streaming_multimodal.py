@@ -45,6 +45,27 @@ class TestAuditRun:
         assert len(metrics) == 2  # only the pending buckets ran
         assert resumed.pending_buckets() == []
 
+    def test_metrics_df_shape(self, spark, docs_df, tmp_path):
+        run = AuditRun(spark, str(tmp_path), "run3", n_buckets=2)
+        run.run(docs_df, "doc_id",
+                lambda df: validate_dataframe(df, DOCS_RULESET,
+                                              mode="columns"))
+        mdf = run.metrics_df()
+        assert mdf.count() == 2
+        assert {f.name for f in mdf.schema} >= {
+            "run_id", "bucket", "docs", "valid_docs", "violations"}
+
+    def test_catalog_table_requires_iceberg_runtime(self, spark,
+                                                    tmp_path):
+        from valico_spark.plans.audit import iceberg_available
+
+        # this container has no iceberg-spark-runtime jar: the gated
+        # path must fail fast at construction, not mid-scan
+        assert not iceberg_available(spark)
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            AuditRun(spark, str(tmp_path), "run4",
+                     catalog_table="audit.validated")
+
 
 class TestStreaming:
     def test_stream_matches_batch(self, spark, docs_df, tmp_path):

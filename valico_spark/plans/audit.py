@@ -36,13 +36,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the classpath. The audit
+    sink targets an Iceberg table at cluster scale (atomic
+    overwritePartitions per bucket = the same commit semantics as our
+    dynamic-partition parquet overwrite, plus snapshot time travel); in
+    environments without the runtime jar we fall back to the parquet
+    layout — byte-identical rows, directory-level commit."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
 class AuditRun:
     def __init__(self, spark: SparkSession, audit_dir: str, run_id: str,
-                 n_buckets: int = 16):
+                 n_buckets: int = 16, catalog_table: str | None = None):
+        """``catalog_table``: write validated rows to this catalog table
+        (``writeTo(...).overwritePartitions()``, Iceberg semantics)
+        instead of the parquet directory layout. Requires the Iceberg
+        runtime; raises immediately when absent so a misconfigured
+        cluster fails before scanning anything."""
         self.spark = spark
         self.audit_dir = audit_dir
         self.run_id = run_id
         self.n_buckets = n_buckets
+        self.catalog_table = catalog_table
+        if catalog_table is not None and not iceberg_available(spark):
+            raise RuntimeError(
+                "catalog_table requires the Iceberg Spark runtime "
+                "(iceberg-spark-runtime jar + a configured catalog); "
+                "omit catalog_table to use the parquet audit layout")
         os.makedirs(self._manifest_dir(), exist_ok=True)
 
     def _manifest_dir(self) -> str:
@@ -100,13 +126,26 @@ class AuditRun:
                        F.lit(self.n_buckets)).alias("bucket"))
             # dynamic overwrite: only the buckets in this batch are
             # replaced — idempotent re-processing after a crash
-            (out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket").parquet(self._validated_dir()))
+            if self.catalog_table is not None:
+                # Iceberg path: atomic REPLACE of the touched bucket
+                # partitions in one snapshot commit
+                if not self.spark.catalog.tableExists(self.catalog_table):
+                    (out.writeTo(self.catalog_table)
+                        .partitionedBy(F.col("bucket"))
+                        .createOrReplace())
+                else:
+                    out.writeTo(self.catalog_table).overwritePartitions()
+            else:
+                (out.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket").parquet(self._validated_dir()))
             wall = round(time.time() - t0, 3)
-            # metrics from the written parquet (tiny re-read, pruned to
+            # metrics from the written output (tiny re-read, pruned to
             # this batch's partitions) — never a second plan evaluation
-            agg_rows = (self.spark.read.parquet(self._validated_dir())
+            written = (self.spark.read.table(self.catalog_table)
+                       if self.catalog_table is not None
+                       else self.spark.read.parquet(self._validated_dir()))
+            agg_rows = (written
                         .where(F.col("bucket").isin(batch))
                         .groupBy("bucket")
                         .agg(F.count(F.lit(1)).alias("docs"),
@@ -138,6 +177,15 @@ class AuditRun:
                 with open(os.path.join(self._manifest_dir(), name)) as f:
                     out.append(json.load(f))
         return out
+
+    def metrics_df(self) -> DataFrame:
+        """The per-bucket lineage/metrics rows as a DataFrame — the shape
+        a cluster deployment appends to its audit catalog table
+        (``df.writeTo(table).append()`` under Iceberg)."""
+        return self.spark.createDataFrame(
+            self.metrics(),
+            "run_id string, bucket int, docs long, valid_docs long, "
+            "violations long, wall_sec double, committed_at double")
 
     def validated(self) -> DataFrame:
         """The materialized per-document audit table (id cols, valid,
