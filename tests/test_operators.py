@@ -125,6 +125,47 @@ class TestSpans:
         assert joined.where(F.col("span_sig") != F.col("sig2")).count() == 0
 
 
+class TestAssembleText:
+    def test_render_order_and_placeholders(self, spark):
+        rows = [("d1", [
+            {"kind": "image", "text": None, "media_ref": "m1", "offset": 5},
+            {"kind": "text", "text": "hello ", "media_ref": None,
+             "offset": 0},
+            {"kind": "text", "text": " world", "media_ref": None,
+             "offset": 9},
+        ])]
+        schema = ("doc_id string, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,offset:int>>")
+        df = spark.createDataFrame(rows, schema)
+        out = df.select(spans.assemble_text(F.col("spans")).alias("t")) \
+                .collect()[0].t
+        assert out == "hello <|media:image|> world"
+
+    def test_null_text_span_renders_empty(self, spark):
+        schema = ("doc_id string, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,offset:int>>")
+        df = spark.createDataFrame(
+            [("d1", [{"kind": "text", "text": None, "media_ref": None,
+                      "offset": 0},
+                     {"kind": "text", "text": "x", "media_ref": None,
+                      "offset": 1}])], schema)
+        assert df.select(spans.assemble_text(F.col("spans")).alias("t")) \
+                 .collect()[0].t == "x"
+
+    def test_kind_stats_and_no_shuffle(self, docs_df):
+        out = spans.span_kind_stats(docs_df)
+        row = out.where(F.size("spans") > 0).first()
+        assert row.n_spans == row.n_text_spans + row.n_media_spans
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # text mass equals the sum of text-span lengths on a sample
+        sample = out.limit(50).collect()
+        for r in sample:
+            exp = sum(len(s.text) for s in r.spans
+                      if s.kind == "text" and s.text is not None)
+            assert r.text_chars == exp
+
+
 class TestSkew:
     def test_salted_count_matches_plain(self, docs_df):
         from valico_spark.operators import skew

@@ -69,3 +69,43 @@ def sequence_equality(left: DataFrame, right: DataFrame,
     return (l.join(r, key)
              .select(key, (F.col("__l").eqNullSafe(F.col("__r")))
                      .alias("equal")))
+
+
+def assemble_text(spans: Column, open_tok: str = "<|media:",
+                  close_tok: str = "|>") -> Column:
+    """Render an interleaved span sequence to a single training-ready
+    text stream: spans sorted by offset, text spans contribute their
+    text, media spans a typed placeholder token (``<|media:image|>``).
+
+    Pure codegen (array_sort comparator + transform + concat) — the
+    per-document work is a map stage, no shuffle, no Python. NULL text
+    in a text span (a seeded corpus defect) renders as empty rather
+    than nulling the whole document.
+    """
+    ordered = F.array_sort(spans, lambda a, b: F.when(
+        a["offset"] < b["offset"], F.lit(-1)).when(
+        a["offset"] > b["offset"], F.lit(1)).otherwise(F.lit(0)))
+    parts = F.transform(ordered, lambda s: F.when(
+        s["kind"] == "text", F.coalesce(s["text"], F.lit("")))
+        .otherwise(F.concat(F.lit(open_tok),
+                            F.coalesce(s["kind"], F.lit("?")),
+                            F.lit(close_tok))))
+    return F.array_join(parts, "", "")
+
+
+def span_kind_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document interleaving profile: span counts by modality and
+    text mass — one shuffle-free projection (aggregate/filter HOFs)."""
+    s = F.col(spans_col)
+    n_text = F.size(F.filter(s, lambda x: x["kind"] == "text"))
+    return df.withColumns({
+        "n_spans": F.size(s),
+        "n_text_spans": n_text,
+        "n_media_spans": F.size(s) - n_text,
+        "text_chars": F.aggregate(
+            s, F.lit(0),
+            lambda acc, x: acc + F.when(
+                x["kind"] == "text",
+                F.coalesce(F.length(x["text"]), F.lit(0))
+            ).otherwise(F.lit(0))),
+    })
