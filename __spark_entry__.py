@@ -473,6 +473,18 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing plan: hash-bucketed concat-and-chunk
+    assignment (bucket, chunk, chunk_start) — one hash shuffle, window
+    cumsum per bucket, no global sort; Lehmer bucket hash keeps the
+    assignment engine-portable (exact oracle)."""
+    from valico_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs.select("doc_id", "n_chars"), "n_chars",
+                         budget=4000, n_buckets=8)
+    return out.select("doc_id", "bucket", "chunk", "chunk_start")
+
+
 def _semdedup_centroids():
     """Deterministic literal centroids shared verbatim by the Spark plan
     and the generated DuckDB oracle (rounded to 6 decimals so both
@@ -579,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "decontaminate_docs": q_decontaminate_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1389,6 +1402,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corp.doc_id, corp.doc_grams
         """,
         "semdedup_embeddings": semdedup_sql,
+        "pack_sequences": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     CAST(((((doc_id % 2147483647) * 48271) % 2147483647)
+                           * 48271) % 2147483647 % 8 AS INT) AS bucket
+              FROM documents
+            ), c AS (
+              SELECT doc_id, bucket,
+                     CAST(coalesce(sum(n_chars) OVER (
+                            PARTITION BY bucket ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                       AS chunk_start
+              FROM h
+            )
+            SELECT doc_id, bucket,
+                   CAST(floor(chunk_start / 4000.0) AS BIGINT) AS chunk,
+                   chunk_start
+            FROM c
+        """,
     }
 
 

