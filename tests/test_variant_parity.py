@@ -332,3 +332,55 @@ def test_fuzz_unevaluated_variant_vs_walker(spark, seed):
             continue
         checked += 1
     assert checked >= 15, checked
+
+
+class TestUniqueItemsVariant:
+    RS = {"properties": {"xs": {"uniqueItems": True}}}
+
+    def test_scalar_arrays_compile_serde_strict(self, spark):
+        docs = [
+            '{"xs": [1, 2, 3]}',          # unique ints
+            '{"xs": [1, 1]}',             # dup ints
+            '{"xs": [1, 1.0]}',           # serde-strict: int != float
+            '{"xs": [1.0, 1.00]}',        # same f64 twice -> dup
+            '{"xs": [1.0, 1.5]}',
+            '{"xs": [true, 1]}',          # bool != number
+            '{"xs": [true, false, true]}',
+            '{"xs": ["1", 1]}',           # string != number
+            '{"xs": ["a", "a"]}',
+            '{"xs": [null, null]}',
+            '{"xs": [0.0, -0.0]}',        # rust f64 ==: -0.0 is a dup
+            '{"xs": [1e2, 100.0]}',       # same f64 via different forms
+            '{"xs": [1e2, 100]}',         # float vs int distinct
+            '{"xs": []}', '{"xs": 7}', '{}',
+        ]
+        # auto mode: all-scalar arrays stay on the column plan; verdicts
+        # and violation rows must equal the walker byte-for-byte
+        _check(spark, docs, self.RS, force=False)
+
+    def test_composites_reroute_and_match_walker(self, spark):
+        docs = [
+            '{"xs": [[1], [1.0]]}',       # nested strict: NOT dup
+            '{"xs": [[1], [1]]}',         # dup arrays
+            '{"xs": [{"a": 1}, {"a": 2}]}',
+            '{"xs": [{"a": 1}, {"a": 1}]}',
+            '{"xs": [{}, [1], true, null, 1]}',
+            '{"xs": [18446744073709551615, 18446744073709551615]}',
+        ]
+        _check(spark, docs, self.RS, force=False)
+
+    def test_scalar_rows_have_no_marker(self, spark):
+        """All-scalar arrays must NOT reroute: the plan's marker fires
+        only for composite / ambiguous-decimal elements."""
+        from valico_spark.compiler.variantcolumns import (
+            compile_json_ruleset, has_walker_marker,
+        )
+
+        df = spark.createDataFrame(
+            [('{"xs": [1, 2, 1.0, "a", true, null]}',),
+             ('{"xs": [{"o": 1}]}',)], "j string")
+        viol, comp = compile_json_ruleset(self.RS, F.col("j"),
+                                          residual_marker=True)
+        assert comp.used_marker
+        rows = df.select(has_walker_marker(viol).alias("m")).collect()
+        assert [r.m for r in rows] == [False, True]

@@ -322,9 +322,8 @@ class VariantCompiler:
             "items": lambda: self._items(s, t, d),
             "minItems": lambda: self._items_count(s["minItems"], False, t),
             "maxItems": lambda: self._items_count(s["maxItems"], True, t),
-            "uniqueItems": lambda: (_raise_unsupported(
-                "uniqueItems on dynamic JSON")
-                if s["uniqueItems"] is True else None),
+            "uniqueItems": lambda: (self._unique_items(t)
+                                    if s["uniqueItems"] is True else None),
             "contains": lambda: (self._contains(s, t, d)
                                  if "contains" in s else None),
             "allOf": lambda: _concat([self._node(sub, t, d + 1)
@@ -644,6 +643,60 @@ class VariantCompiler:
         elif items is not None:
             raise UnsupportedRule("items must be schema or array")
         return _concat(parts)
+
+    def _unique_items(self, t: VTarget) -> Column:
+        """serde-strict uniqueItems over dynamic arrays (scalar
+        elements compiled; composites → walker residual).
+
+        Per-element type-tagged keys mirror the walker's ``_hash_key``:
+        integers and floats are DISTINCT serde Number variants (1 !=
+        1.0). parse_json preserves that distinction in the variant type
+        tag — JSON integers land as BIGINT, anything written with a
+        decimal point as DECIMAL (even when scale normalizes to 0:
+        "1.0" → DECIMAL(1,0), still distinguishable from BIGINT 1),
+        exponent/overflow as DOUBLE. Float keys canonicalize through
+        the double cast (so "1.0" ≡ "1.00" ≡ 1.0e0, and -0.0 ≡ 0.0
+        exactly as Rust f64 ==).
+
+        Walker residual (NEEDS_WALKER marker, rerouted rows):
+        * object/array elements — nested canonicalization (key-order
+          sorting) doesn't fit an expression;
+        * scale-0 DECIMAL beyond int64 — the one ambiguous region
+          where "9.3e18-as-float" and a >i64 integer literal collide
+          in the same variant type.
+        """
+        if not self.residual_marker:
+            # element types are only known at runtime: without the
+            # marker reroute we cannot promise full-fidelity compile
+            raise UnsupportedRule(
+                "uniqueItems on dynamic JSON needs the walker residual")
+        self.used_marker = True
+        self._marker_sites += 1
+        arr = _arr(t.col)
+        is_arr = t.col.isNotNull() & _is_arr(t.col)
+
+        def key(e: Column) -> Column:
+            st = _vtype(e)
+            return (F.when(F.is_variant_null(e), F.lit("z"))
+                     .when(st == "BOOLEAN",
+                           F.concat(F.lit("b:"), _bool(e).cast("string")))
+                     .when(st == "STRING", F.concat(F.lit("s:"), _str(e)))
+                     .when(st == "BIGINT",
+                           F.concat(F.lit("i:"),
+                                    F.try_variant_get(e, "$", "long")
+                                     .cast("string")))
+                     .otherwise(F.concat(F.lit("f:"),
+                                         _num(e).cast("string"))))
+
+        residual = F.exists(arr, lambda e: _is_obj(e) | _is_arr(e)
+                            | (_vtype(e).rlike(r"^DECIMAL\(\d+,0\)$")
+                               & (F.abs(_num(e)) > F.lit(9.2e18))))
+        keys = F.transform(arr, key)
+        dup = F.size(F.array_distinct(keys)) < F.size(keys)
+        marker = _maybe(is_arr & residual, _marker_violation(t.path))
+        viol = _maybe(is_arr & ~residual & dup,
+                      make_violation("unique_items", t.path))
+        return _concat([marker, viol])
 
     def _items_count(self, n: Any, is_max: bool, t: VTarget) -> Column:
         cnt = F.size(_arr(t.col))
