@@ -473,6 +473,15 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset report card: per-(lang, source) doc/char/token mass and
+    short-doc fraction in one aggregation pass (exact oracle; means are
+    exact-integer divisions, no float-sum order dependence)."""
+    from valico_spark.operators.text import corpus_report
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing plan: hash-bucketed concat-and-chunk
     assignment (bucket, chunk, chunk_start) — one hash shuffle, window
@@ -592,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "semdedup_embeddings": q_semdedup_embeddings,
         "pack_sequences": q_pack_sequences,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -1421,6 +1431,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(chunk_start / 4000.0) AS BIGINT) AS chunk,
                    chunk_start
             FROM c
+        """,
+        "corpus_report": """
+            SELECT lang, source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS chars_total,
+                   sum(len(list_filter(
+                         string_split_regex(trim(text), '\s+'),
+                         x -> x != '')))::BIGINT AS tokens_total,
+                   sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT
+                     AS short_docs,
+                   round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6)
+                     AS chars_mean_r,
+                   round(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS short_frac_r
+            FROM documents
+            GROUP BY lang, source
         """,
     }
 

@@ -213,3 +213,28 @@ class TestSaltedJoin:
         g = {(r["k"], r["v"], r["tag"]) for r in got.collect()}
         p = {(r["k"], r["v"], r["tag"]) for r in plain.collect()}
         assert g == p
+
+
+class TestCorpusReport:
+    def test_single_agg_and_consistency(self, spark):
+        from valico_spark.operators.text import corpus_report
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "en", "web", 50),
+             (2, "d e", "en", "web", 200),
+             (3, "f", "de", "book", 99)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        rows = {(r.lang, r.source): r
+                for r in corpus_report(df).collect()}
+        en = rows[("en", "web")]
+        assert en.n_docs == 2 and en.chars_total == 250
+        assert en.tokens_total == 5 and en.short_docs == 1
+        assert abs(en.chars_mean_r - 125.0) < 1e-9
+        assert abs(en.short_frac_r - 0.5) < 1e-9
+        de = rows[("de", "book")]
+        assert de.n_docs == 1 and de.short_docs == 1
+        # exactly one aggregation: a single Exchange in the plan
+        plan = corpus_report(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") <= 1

@@ -226,3 +226,35 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text",
         F.size(ws).cast("long").alias("n_ws_tokens"),
         F.round(F.length(text) / F.greatest(n_pieces, F.lit(1)), 6)
          .alias("chars_per_token"))
+
+
+def corpus_report(df: DataFrame, lang_col: str = "lang",
+                  source_col: str = "source", text_col: str = "text",
+                  chars_col: str = "n_chars",
+                  short_chars: int = 100) -> DataFrame:
+    """Per-(lang, source) dataset report card in ONE aggregation pass:
+    document counts, character/token mass, and the short-document
+    fraction a curation run watches. Shuffle size = the tiny
+    (lang, source) grid; token counting is a codegen expression, so the
+    scan stays a pure map stage before the single groupBy.
+
+    Means divide two exact integers in double arithmetic (identical in
+    any engine) — no float summation order dependence.
+    """
+    toks = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                           lambda x: x != ""))
+    return (df.groupBy(F.col(lang_col).alias("lang"),
+                       F.col(source_col).alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(chars_col).cast("long").alias("chars_total"),
+                   F.sum(toks).cast("long").alias("tokens_total"),
+                   F.sum(F.when(F.col(chars_col) < short_chars, 1)
+                          .otherwise(0)).cast("long").alias("short_docs"))
+              .select("lang", "source", "n_docs", "chars_total",
+                      "tokens_total", "short_docs",
+                      F.round(F.col("chars_total")
+                              / F.col("n_docs").cast("double"), 6)
+                       .alias("chars_mean_r"),
+                      F.round(F.col("short_docs")
+                              / F.col("n_docs").cast("double"), 6)
+                       .alias("short_frac_r")))
