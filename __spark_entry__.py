@@ -473,6 +473,15 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def q_chunk_text_docs(spark, sf_dir):
+    """Context-window chunking: 400-char windows, 100-char overlap —
+    sequence+transform+explode, shuffle-free bounded fan-out (exact
+    oracle)."""
+    from valico_spark.operators.text import chunk_text
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, size=400, overlap=100)
+
+
 def q_corpus_report(spark, sf_dir):
     """Dataset report card: per-(lang, source) doc/char/token mass and
     short-doc fraction in one aggregation pass (exact oracle; means are
@@ -602,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": q_semdedup_embeddings,
         "pack_sequences": q_pack_sequences,
         "corpus_report": q_corpus_report,
+        "chunk_text_docs": q_chunk_text_docs,
     }
 
 
@@ -1447,6 +1457,21 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) AS short_frac_r
             FROM documents
             GROUP BY lang, source
+        """,
+        "chunk_text_docs": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE length(text) > 0
+            ), s AS (
+              SELECT doc_id, text,
+                     unnest(range(0,
+                       greatest(CAST(ceil((n - 400) / 300.0) AS BIGINT),
+                                0) * 300 + 1, 300)) AS st
+              FROM d
+            )
+            SELECT doc_id, st // 300 AS chunk_id, st AS chunk_start,
+                   substr(text, CAST(st + 1 AS INT), 400) AS chunk
+            FROM s
         """,
     }
 

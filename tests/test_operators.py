@@ -238,3 +238,37 @@ class TestCorpusReport:
         plan = corpus_report(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert plan.count("Exchange") <= 1
+
+
+class TestChunkText:
+    def test_coverage_and_overlap(self, spark):
+        from valico_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame([(1, "abcdefghij")],
+                                   "doc_id long, text string")
+        rows = sorted(chunk_text(df, size=4, overlap=2).collect(),
+                      key=lambda r: r.chunk_id)
+        assert [(r.chunk_id, r.chunk_start, r.chunk) for r in rows] == [
+            (0, 0, "abcd"), (1, 2, "cdef"), (2, 4, "efgh"),
+            (3, 6, "ghij")]
+        # reassembly: stripping the overlap from every later chunk
+        # reproduces the document
+        text = rows[0].chunk + "".join(r.chunk[2:] for r in rows[1:])
+        assert text == "abcdefghij"
+
+    def test_short_and_empty_docs(self, spark):
+        from valico_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame([(1, "ab"), (2, "")],
+                                   "doc_id long, text string")
+        rows = chunk_text(df, size=4, overlap=1).collect()
+        assert [(r.doc_id, r.chunk) for r in rows] == [(1, "ab")]
+
+    def test_param_validation(self, spark):
+        from valico_spark.operators.text import chunk_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _p
+        for size, ov in ((0, 0), (4, 4), (4, -1)):
+            with _p.raises(ValueError):
+                chunk_text(df, size=size, overlap=ov)

@@ -258,3 +258,35 @@ def corpus_report(df: DataFrame, lang_col: str = "lang",
                       F.round(F.col("short_docs")
                               / F.col("n_docs").cast("double"), 6)
                        .alias("short_frac_r")))
+
+
+def chunk_text(df: DataFrame, size: int, overlap: int = 0,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Explode documents into fixed-size character windows with
+    ``overlap`` carried between consecutive chunks (stride = size -
+    overlap) — the retrieval / context-window prep step.
+
+    Pure codegen: a ``sequence`` of chunk starts + ``transform`` +
+    ``explode`` — no shuffle, no Python; fan-out is bounded by
+    ceil(len/stride). The trailing chunk keeps its natural short
+    length. Deterministic chunk ids = (doc, ordinal).
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    stride = size - overlap
+    text = F.col(text_col)
+    n = F.length(text)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(size)) / F.lit(stride)), F.lit(0))
+         .cast("long") * F.lit(stride),
+        F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s, i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            s.cast("long").alias("chunk_start"),
+            F.substring(text, (s + 1).cast("int"), size).alias("chunk")))
+    return (df.where(n > 0)
+              .select(F.col(id_col), F.explode(chunks).alias("c"))
+              .select(id_col, "c.chunk_id", "c.chunk_start", "c.chunk"))
