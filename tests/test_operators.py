@@ -272,3 +272,49 @@ class TestChunkText:
         for size, ov in ((0, 0), (4, 4), (4, -1)):
             with _p.raises(ValueError):
                 chunk_text(df, size=size, overlap=ov)
+
+
+class TestInferRuleset:
+    def test_round_trip_self_valid(self, spark):
+        from valico_spark.operators.infer import infer_ruleset
+        from valico_spark.operators.validate import validate_dataframe
+
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet")
+        rs = infer_ruleset(orders)
+        # the suggestion is a real compiler input and the source data
+        # satisfies it
+        v = validate_dataframe(orders, rs, mode="columns")
+        assert v.where(~F.col("valid")).count() == 0
+        # enum inferred for genuinely low-cardinality strings
+        assert "enum" in rs["properties"]["o_orderstatus"]
+        assert rs["properties"]["o_orderkey"]["type"] == "integer"
+        # observed-non-null columns are required
+        assert "o_orderkey" in rs["required"]
+
+    def test_detects_mutations_and_nullability(self, spark):
+        from valico_spark.operators.infer import infer_ruleset
+        from valico_spark.operators.validate import validate_dataframe
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5), (3, None, 3.5)],
+            "k long, s string, x double")
+        rs = infer_ruleset(df)
+        assert "s" not in rs["required"]          # observed null
+        assert None in rs["properties"]["s"]["enum"]
+        assert rs["properties"]["x"]["minimum"] == 1.5
+        mut = spark.createDataFrame([(9, "zzz", 99.0)],
+                                    "k long, s string, x double")
+        vm = validate_dataframe(mut, rs, mode="columns")
+        assert vm.where(~F.col("valid")).count() == 1
+
+    def test_two_jobs_only(self, spark):
+        from valico_spark.operators.infer import infer_ruleset
+
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        infer_ruleset(df)
+        after = len(tracker.getJobIdsForGroup(None))
+        # two collect() actions; AQE may split each into 2 sub-jobs
+        assert after - before <= 4
