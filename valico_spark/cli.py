@@ -20,10 +20,14 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="valico_spark")
     ap.add_argument("--input", required=True,
                     help="parquet path of the documents table")
-    ap.add_argument("--ruleset", required=True,
-                    help="path to the ruleset JSON (valico dialect)")
-    ap.add_argument("--audit-dir", required=True)
-    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--ruleset",
+                    help="path to the ruleset JSON (valico dialect); "
+                         "omit with --infer-only")
+    ap.add_argument("--infer-only", action="store_true",
+                    help="print a suggested draft-07 ruleset inferred "
+                         "from --input (two bounded agg passes) and exit")
+    ap.add_argument("--audit-dir")
+    ap.add_argument("--run-id")
     ap.add_argument("--key", default="doc_id")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--master", default=None)
@@ -34,6 +38,17 @@ def main(argv: list[str] | None = None) -> int:
     from valico_spark.operators.validate import validate_dataframe
     from valico_spark.plans.audit import AuditRun
     from valico_spark.session import get_spark
+
+    if args.infer_only:
+        from valico_spark.operators.infer import infer_ruleset
+
+        spark = get_spark("valico_infer", master=args.master)
+        docs = spark.read.parquet(args.input)
+        print(json.dumps(infer_ruleset(docs), indent=2, default=str))
+        return 0
+    if not (args.ruleset and args.audit_dir and args.run_id):
+        ap.error("--ruleset, --audit-dir and --run-id are required "
+                 "unless --infer-only")
 
     with open(args.ruleset) as f:
         ruleset = json.load(f)
