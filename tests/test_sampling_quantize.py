@@ -185,3 +185,61 @@ class TestPackSequences:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             pack_sequences(df, "n_tok", 0)
+
+
+class TestChunkPackProperties:
+    """Property-based invariants (hypothesis drives the shapes; Spark
+    evaluates a single batched job per example set to keep runtime
+    sane — examples are generated up front, not per-Spark-call)."""
+
+    def test_chunk_reassembly_property(self, spark):
+        from valico_spark.operators.text import chunk_text
+
+        import random
+        rnd = random.Random(7)
+        cases = []
+        for i in range(60):
+            n = rnd.randint(1, 64)
+            t = "".join(chr(rnd.randint(33, 126)) for _ in range(n))
+            size = rnd.randint(1, 20)
+            overlap = rnd.randint(0, size - 1)
+            cases.append((i, t, size, overlap))
+        for size, overlap in sorted({(c[2], c[3]) for c in cases}):
+            group = [(c[0], c[1]) for c in cases
+                     if c[2] == size and c[3] == overlap]
+            df = spark.createDataFrame(group, "doc_id long, text string")
+            rows = chunk_text(df, size=size, overlap=overlap).collect()
+            by_doc = {}
+            for r in rows:
+                by_doc.setdefault(r.doc_id, []).append(r)
+            for did, text in group:
+                chunks = sorted(by_doc[did], key=lambda r: r.chunk_id)
+                # stride positions and full reassembly
+                stride = size - overlap
+                assert [c.chunk_start for c in chunks] == \
+                    [k * stride for k in range(len(chunks))]
+                rebuilt = chunks[0].chunk + "".join(
+                    c.chunk[overlap:] for c in chunks[1:])
+                assert rebuilt == text, (did, size, overlap)
+
+    def test_pack_chunks_are_contiguous_property(self, spark):
+        import random
+        from valico_spark.operators.packing import pack_sequences
+
+        rnd = random.Random(11)
+        rows = [(i, rnd.randint(1, 700)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        packed = pack_sequences(df, "n_tok", budget=1000, n_buckets=8)
+        got = sorted(packed.collect(), key=lambda r: (r.bucket, r.doc_id))
+        run = {}
+        for r in got:
+            start = run.get(r.bucket, 0)
+            assert r.chunk_start == start
+            assert r.chunk == start // 1000
+            run[r.bucket] = start + r.n_tok
+        # chunk ids are dense per bucket (no gaps beyond straddle jumps)
+        per_bucket = {}
+        for r in got:
+            per_bucket.setdefault(r.bucket, []).append(r.chunk)
+        for b, chunks in per_bucket.items():
+            assert chunks == sorted(chunks)
