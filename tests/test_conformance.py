@@ -163,3 +163,48 @@ def test_corpus_variant_column_path(spark, version):
     ratio = 2 if version == "draft7" else 1
     assert compiled >= ratio * len(fallback), (
         compiled, sorted(set(fallback)))
+
+
+def test_golden_parquet_fixture(spark):
+    """The committed golden parquet (tools/make_golden.py) pins the full
+    violation-row corpus — (code, title, path, detail, states) per case.
+    One distributed mapInPandas job recomputes every case from source
+    and diffs against the fixture: any semantic drift in the walker
+    trips this gate even if the in-code expectations were updated in
+    the same commit."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "violation_rows.parquet")
+    df = spark.read.parquet(path)
+    assert df.count() >= 500
+
+    def run(batches):
+        scopes = {}
+        for pdf in batches:
+            oks = []
+            for ver, sj, dj, valid, viols in zip(
+                    pdf["version"], pdf["schema_json"], pdf["data_json"],
+                    pdf["valid"], pdf["violations"]):
+                key = (ver, sj)
+                if key not in scopes:
+                    sc = Scope(version=VERSIONS[ver])
+                    scopes[key] = (sc, sc.compile(json.loads(sj)))
+                sc, sid = scopes[key]
+                state = sc.validate(sid, json.loads(dj))
+                got = sorted(
+                    ((e.code, e.title, e.path, e.detail, e.states)
+                     for e in state.errors),
+                    key=lambda v: (v[0], v[2], v[3] or "", v[4] or ""))
+                exp = [(v["code"], v["title"], v["path"], v["detail"],
+                        v["states"]) for v in viols]
+                oks.append(state.is_valid() == bool(valid)
+                           and got == exp)
+            out = pdf[["grp", "data_json"]].copy()
+            out["ok"] = oks
+            yield out
+
+    res = df.repartition(4).mapInPandas(
+        run, "grp string, data_json string, ok boolean").collect()
+    bad = [(r["grp"], r["data_json"]) for r in res if not r["ok"]]
+    assert not bad, bad[:10]
