@@ -350,6 +350,8 @@ class TestUniqueItemsVariant:
             '{"xs": ["a", "a"]}',
             '{"xs": [null, null]}',
             '{"xs": [0.0, -0.0]}',        # rust f64 ==: -0.0 is a dup
+            '{"xs": [-0.0e0, 0.0]}',      # DOUBLE-typed negative zero
+            '{"xs": [-0.0e0, 0.0e0]}',    # both exponent-form zeros
             '{"xs": [1e2, 100.0]}',       # same f64 via different forms
             '{"xs": [1e2, 100]}',         # float vs int distinct
             '{"xs": []}', '{"xs": 7}', '{}',

@@ -685,8 +685,11 @@ class VariantCompiler:
                            F.concat(F.lit("i:"),
                                     F.try_variant_get(e, "$", "long")
                                      .cast("string")))
+                     # +0.0 canonicalizes IEEE negative zero (-0.0 + 0.0
+                     # = +0.0), matching Rust f64 == where -0.0 == 0.0
                      .otherwise(F.concat(F.lit("f:"),
-                                         _num(e).cast("string"))))
+                                         (_num(e) + F.lit(0.0))
+                                         .cast("string"))))
 
         residual = F.exists(arr, lambda e: _is_obj(e) | _is_arr(e)
                             | (_vtype(e).rlike(r"^DECIMAL\(\d+,0\)$")

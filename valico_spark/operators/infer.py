@@ -52,19 +52,25 @@ def _type_schema(dt: T.DataType) -> dict:
     return {}  # timestamps/binary/...: presence-typed only
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name so dotted names ("user.id") resolve
+    as top-level columns, not struct-field paths."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def infer_ruleset(df: DataFrame, enum_max: int = 16,
                   bound_slack: float = 0.0) -> dict[str, Any]:
     """Suggest a draft-07 object ruleset for ``df``'s rows."""
     fields = df.schema.fields
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in fields:
-        aggs.append(F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0))
-                     .alias(f"{f.name}__nulls"))
+        aggs.append(F.sum(F.when(F.col(_q(f.name)).isNull(), 1)
+                           .otherwise(0)).alias(f"{f.name}__nulls"))
         if isinstance(f.dataType, _NUMERIC):
-            aggs.append(F.min(f.name).alias(f"{f.name}__min"))
-            aggs.append(F.max(f.name).alias(f"{f.name}__max"))
+            aggs.append(F.min(_q(f.name)).alias(f"{f.name}__min"))
+            aggs.append(F.max(_q(f.name)).alias(f"{f.name}__max"))
         elif isinstance(f.dataType, T.StringType):
-            aggs.append(F.approx_count_distinct(f.name)
+            aggs.append(F.approx_count_distinct(_q(f.name))
                          .alias(f"{f.name}__dv"))
     row = df.agg(*aggs).collect()[0].asDict()
 
@@ -75,7 +81,7 @@ def infer_ruleset(df: DataFrame, enum_max: int = 16,
                   and row[f"{f.name}__dv"] <= enum_max * 2]
     enums: dict[str, list] = {}
     if candidates:
-        sets = df.agg(*[F.collect_set(c).alias(c)
+        sets = df.agg(*[F.collect_set(F.col(_q(c))).alias(c)
                         for c in candidates]).collect()[0].asDict()
         enums = {c: sorted(v) for c, v in sets.items()
                  if len(v) <= enum_max}
@@ -87,12 +93,17 @@ def infer_ruleset(df: DataFrame, enum_max: int = 16,
         if isinstance(f.dataType, _NUMERIC):
             lo, hi = row[f"{f.name}__min"], row[f"{f.name}__max"]
             if lo is not None and hi is not None:
-                span = (float(hi) - float(lo)) * bound_slack
-                lo2, hi2 = float(lo) - span, float(hi) + span
                 if isinstance(f.dataType, _INTEGRAL):
+                    # pure int arithmetic: float() would round int64
+                    # beyond 2^53 and could tighten past observed values
                     import math
-                    lo2, hi2 = math.floor(lo2), math.ceil(hi2)
-                sub["minimum"], sub["maximum"] = lo2, hi2
+                    span_i = math.ceil((hi - lo) * bound_slack)
+                    sub["minimum"] = int(lo) - span_i
+                    sub["maximum"] = int(hi) + span_i
+                else:
+                    span = (float(hi) - float(lo)) * bound_slack
+                    sub["minimum"] = float(lo) - span
+                    sub["maximum"] = float(hi) + span
         if f.name in enums and enums[f.name]:
             sub = {"enum": enums[f.name]
                    + ([None] if row[f"{f.name}__nulls"] else [])}

@@ -244,6 +244,21 @@ def _kmeans_centroids(sample: "np.ndarray", k: int, iters: int = 8,
     return cent
 
 
+def _sample_centroids(df: DataFrame, id_col: str, vec_col: str,
+                      sample_size: int, k: int, seed: int) -> "np.ndarray":
+    """Deterministic corpus sample (TakeOrderedAndProject top-N by id —
+    a bare limit() picks arbitrary partitions and would train different
+    centroids run to run) -> spherical k-means. The only driver-side
+    data movement, bounded by ``sample_size``."""
+    rows = (df.select(id_col, vec_col)
+              .orderBy(id_col).limit(int(sample_size))
+              .select(vec_col).collect())
+    if not rows:
+        raise ValueError("cannot train centroids on an empty corpus")
+    sample = np.array([r[0] for r in rows], dtype=float)
+    return _kmeans_centroids(sample, k, seed=seed)
+
+
 def _centroid_scores(vec: Column, centroids: "np.ndarray") -> Column:
     return F.array(*[
         dot(vec, F.array(*[F.lit(float(v)) for v in c]))
@@ -271,14 +286,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     batch).
     """
     if centroids is None:
-        # deterministic sample: TakeOrderedAndProject (top-N by id) —
-        # a bare limit() picks arbitrary partitions and would train
-        # different centroids run to run
-        rows = (corpus.select(id_col, vec_col)
-                      .orderBy(id_col).limit(int(sample_size))
-                      .select(vec_col).collect())
-        sample = np.array([r[0] for r in rows], dtype=float)
-        centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+        centroids = _sample_centroids(corpus, id_col, vec_col,
+                                      sample_size, n_centroids, seed)
     c_scores = _centroid_scores(F.col(vec_col), centroids)
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
@@ -338,11 +347,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     the sampling job and make runs engine-reproducible.
     """
     if centroids is None:
-        rows = (df.select(id_col, vec_col)
-                  .orderBy(id_col).limit(int(sample_size))
-                  .select(vec_col).collect())
-        sample = np.array([r[0] for r in rows], dtype=float)
-        centroids = _kmeans_centroids(sample, n_centroids, seed=seed)
+        centroids = _sample_centroids(df, id_col, vec_col,
+                                      sample_size, n_centroids, seed)
     scores = _centroid_scores(F.col(vec_col), centroids)
     cells = (ensure_min_partitions(df)
              .select(F.col(id_col).alias("vid"),

@@ -241,8 +241,7 @@ def corpus_report(df: DataFrame, lang_col: str = "lang",
     Means divide two exact integers in double arithmetic (identical in
     any engine) — no float summation order dependence.
     """
-    toks = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                           lambda x: x != ""))
+    toks = F.size(tokens(F.col(text_col)))
     return (df.groupBy(F.col(lang_col).alias("lang"),
                        F.col(source_col).alias("source"))
               .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -47,6 +47,14 @@ def iceberg_available(spark: SparkSession) -> bool:
         spark._jvm.java.lang.Class.forName(
             "org.apache.iceberg.spark.source.IcebergSource")
         return True
+    except AttributeError:
+        # Spark Connect has no _jvm: fall back to the session-extensions
+        # conf, which a configured Iceberg catalog always sets
+        try:
+            exts = spark.conf.get("spark.sql.extensions", "") or ""
+            return "IcebergSparkSessionExtensions" in exts
+        except Exception:
+            return False
     except Exception:
         return False
 
@@ -123,28 +131,32 @@ class AuditRun:
             out = validated.select(
                 *id_cols, "valid", "violations",
                 F.pmod(F.xxhash64(F.col(key_col)),
-                       F.lit(self.n_buckets)).alias("bucket"))
+                       F.lit(self.n_buckets)).alias("bucket"),
+                F.lit(self.run_id).alias("run_id"))
             # dynamic overwrite: only the buckets in this batch are
             # replaced — idempotent re-processing after a crash
             if self.catalog_table is not None:
                 # Iceberg path: atomic REPLACE of the touched bucket
                 # partitions in one snapshot commit
+                # (run_id, bucket) partitioning keeps runs isolated in
+                # the SHARED catalog table (the parquet layout gets the
+                # same isolation from its run_id-scoped directory) and
+                # makes overwritePartitions replace exactly this run's
+                # touched buckets
                 if not self.spark.catalog.tableExists(self.catalog_table):
                     (out.writeTo(self.catalog_table)
-                        .partitionedBy(F.col("bucket"))
+                        .partitionedBy(F.col("run_id"), F.col("bucket"))
                         .createOrReplace())
                 else:
                     out.writeTo(self.catalog_table).overwritePartitions()
             else:
-                (out.write.mode("overwrite")
+                (out.drop("run_id").write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("bucket").parquet(self._validated_dir()))
             wall = round(time.time() - t0, 3)
             # metrics from the written output (tiny re-read, pruned to
             # this batch's partitions) — never a second plan evaluation
-            written = (self.spark.read.table(self.catalog_table)
-                       if self.catalog_table is not None
-                       else self.spark.read.parquet(self._validated_dir()))
+            written = self._read_validated()
             agg_rows = (written
                         .where(F.col("bucket").isin(batch))
                         .groupBy("bucket")
@@ -187,10 +199,18 @@ class AuditRun:
             "run_id string, bucket int, docs long, valid_docs long, "
             "violations long, wall_sec double, committed_at double")
 
+    def _read_validated(self) -> DataFrame:
+        if self.catalog_table is not None:
+            return (self.spark.read.table(self.catalog_table)
+                        .where(F.col("run_id") == self.run_id)
+                        .drop("run_id"))
+        return self.spark.read.parquet(self._validated_dir())
+
     def validated(self) -> DataFrame:
         """The materialized per-document audit table (id cols, valid,
-        violations array, bucket)."""
-        return self.spark.read.parquet(self._validated_dir())
+        violations array, bucket) — this run's rows, from the catalog
+        table or the parquet layout."""
+        return self._read_validated()
 
     def violations(self) -> DataFrame:
         """Exploded violation rows, derived on read from the validated
