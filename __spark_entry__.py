@@ -473,6 +473,25 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def q_domain_counts(spark, sf_dir):
+    """URL curation stage: deterministic synthetic URLs injected per doc
+    (driver tables carry none), corpus-wide domain histogram — explode +
+    one hash agg (exact oracle)."""
+    from valico_spark.operators.text import domain_counts
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" see https://site"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.when(F.col("doc_id") % 13 == 0,
+                        F.lit(" and http://tracker.example.net/x?id=1"))
+                  .otherwise(F.lit(""))).alias("text"))
+    return domain_counts(injected)
+
+
 def q_chunk_text_docs(spark, sf_dir):
     """Context-window chunking: 400-char windows, 100-char overlap —
     sequence+transform+explode, shuffle-free bounded fan-out (exact
@@ -612,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "corpus_report": q_corpus_report,
         "chunk_text_docs": q_chunk_text_docs,
+        "domain_counts": q_domain_counts,
     }
 
 
@@ -1472,6 +1492,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, st // 300 AS chunk_id, st AS chunk_start,
                    substr(text, CAST(st + 1 AS INT), 400) AS chunk
             FROM s
+        """,
+        "domain_counts": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' see https://site' ||
+                     CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 13 = 0
+                          THEN ' and http://tracker.example.net/x?id=1'
+                          ELSE '' END AS text
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM t
+            ), d AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                           'https?://([^/:\s?#]+)', 1)) AS domain
+              FROM u
+            )
+            SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_urls
+            FROM d GROUP BY domain
         """,
     }
 

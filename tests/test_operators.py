@@ -318,3 +318,42 @@ class TestInferRuleset:
         after = len(tracker.getJobIdsForGroup(None))
         # two collect() actions; AQE may split each into 2 sub-jobs
         assert after - before <= 4
+
+
+class TestUrlOps:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "go to https://A.Example.com/x and http://b.org/y?z=1"),
+             (2, "nothing here"),
+             (3, "dup https://a.example.com/1 https://a.example.com/2")],
+            "doc_id long, text string")
+
+    def test_url_stats(self, spark):
+        from valico_spark.operators.text import url_stats
+
+        rows = {r.doc_id: r for r in url_stats(self._df(spark)).collect()}
+        assert rows[1].n_urls == 2
+        assert sorted(rows[1].domains) == ["a.example.com", "b.org"]
+        assert rows[2].n_urls == 0
+        assert rows[3].domains == ["a.example.com"]  # distinct
+
+    def test_domain_counts(self, spark):
+        from valico_spark.operators.text import domain_counts
+
+        rows = {r.domain: r
+                for r in domain_counts(self._df(spark)).collect()}
+        assert rows["a.example.com"].n_docs == 2
+        assert rows["a.example.com"].n_urls == 3
+        assert rows["b.org"].n_docs == 1
+
+    def test_blocklist_filter(self, spark):
+        from valico_spark.operators.text import (
+            filter_blocklisted_domains,
+        )
+
+        kept = sorted(r.doc_id for r in filter_blocklisted_domains(
+            self._df(spark), ["A.EXAMPLE.COM"]).collect())
+        assert kept == [2]
+        all_kept = sorted(r.doc_id for r in filter_blocklisted_domains(
+            self._df(spark), ["other.net"]).collect())
+        assert all_kept == [1, 2, 3]

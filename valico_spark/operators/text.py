@@ -289,3 +289,51 @@ def chunk_text(df: DataFrame, size: int, overlap: int = 0,
     return (df.where(n > 0)
               .select(F.col(id_col), F.explode(chunks).alias("c"))
               .select(id_col, "c.chunk_id", "c.chunk_start", "c.chunk"))
+
+
+#: RE2-safe URL matcher (no backtracking constructs) — identical
+#: semantics in Java regex and DuckDB's RE2.
+URL_PATTERN = r"https?://[^\s]+"
+_DOMAIN_PATTERN = r"https?://([^/:\s?#]+)"
+
+
+def url_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL inventory: extracted URLs, count, and distinct
+    lowercased domains — pure codegen regexp_extract_all, no shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.array_distinct(F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1))))
+    return df.select(
+        F.col(id_col), urls.alias("urls"),
+        F.size(urls).cast("long").alias("n_urls"),
+        domains.alias("domains"))
+
+
+def domain_counts(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide domain histogram: docs containing each domain and
+    total URL mentions. One explode + one hash aggregation (shuffle
+    size = |domains|) — the input for blocklist curation."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    per_url = (df.select(F.col(id_col).alias("doc_id"),
+                         F.explode(urls).alias("url"))
+                 .select("doc_id",
+                         F.lower(F.regexp_extract("url", _DOMAIN_PATTERN,
+                                                  1)).alias("domain")))
+    return (per_url.groupBy("domain")
+                   .agg(F.countDistinct("doc_id").alias("n_docs"),
+                        F.count(F.lit(1)).alias("n_urls")))
+
+
+def filter_blocklisted_domains(df: DataFrame, blocklist: list[str],
+                               text_col: str = "text") -> DataFrame:
+    """Drop documents mentioning any blocklisted domain. The blocklist
+    is a literal array (KBs even for large lists) evaluated per row —
+    no join, no shuffle; at millions of entries switch to a broadcast
+    anti-join on the exploded domain table instead."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)))
+    bad = F.array(*[F.lit(d.lower()) for d in blocklist])
+    return df.where(F.size(F.array_intersect(domains, bad)) == 0)
