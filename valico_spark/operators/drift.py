@@ -73,7 +73,8 @@ def ks_binned(sample_a: DataFrame, sample_b: DataFrame, value_col: str,
     cb = ecdf_counts(b, "nb")
     merged = ca.join(cb, "bin", "full_outer").fillna(0)
     # B rows — cumulative sums over the tiny binned table
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = (Window.partitionBy(F.lit(0)).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
     totals = merged.agg(F.sum("na"), F.sum("nb")).collect()[0]
     ta, tb = (totals[0] or 1), (totals[1] or 1)
     result = merged.select(
@@ -106,9 +107,13 @@ def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
 
     merged = counts(a, "na").join(counts(b, "nb"), "bin", "full_outer") \
         .fillna(0, ["na", "nb"])
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    ta = F.sum("na").over(Window.partitionBy())
-    tb = F.sum("nb").over(Window.partitionBy())
+    # windows run over the <=B-row binned table: a constant partition
+    # key makes the single-partition execution explicit (and silences
+    # the WindowExec "No Partition Defined" warning)
+    w = (Window.partitionBy(F.lit(0)).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ta = F.sum("na").over(Window.partitionBy(F.lit(0)))
+    tb = F.sum("nb").over(Window.partitionBy(F.lit(0)))
     return merged.select(
         "bin", "na", "nb",
         F.round(F.abs(F.sum("na").over(w) / ta
