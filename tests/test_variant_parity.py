@@ -228,6 +228,28 @@ def test_fuzz_variant_vs_walker(spark, seed):
     _check(spark, docs, FUZZ_RULESET)
 
 
+FUZZ_UNIQUE_RULESET = {
+    "type": "object",
+    "properties": {
+        "k": {"uniqueItems": True, "maxItems": 4},
+        "s": {"type": ["array", "integer"], "uniqueItems": True},
+    },
+    "patternProperties": {"^x_": {"uniqueItems": True,
+                                  "minItems": 1}},
+}
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_fuzz_unique_items_variant_vs_walker(spark, seed):
+    """Random docs (scalar AND composite array elements) through the
+    auto path: scalar arrays stay compiled, composite ones reroute via
+    the runtime marker — violation rows byte-equal to the walker either
+    way."""
+    rnd = random.Random(seed)
+    docs = [_rand_doc(rnd) for _ in range(300)]
+    _check(spark, docs, FUZZ_UNIQUE_RULESET, force=False)
+
+
 class TestCompositeAndNames:
     def test_composite_enum_const(self, spark):
         rs = {"properties": {
