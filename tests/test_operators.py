@@ -357,3 +357,51 @@ class TestUrlOps:
         all_kept = sorted(r.doc_id for r in filter_blocklisted_domains(
             self._df(spark), ["other.net"]).collect())
         assert all_kept == [1, 2, 3]
+
+
+class TestIncrementalValidate:
+    RS = {"type": "object", "required": ["doc_id"],
+          "properties": {"n": {"type": "integer", "minimum": 0}}}
+
+    def test_reuses_unchanged_and_revalidates_changed(self, spark):
+        from valico_spark.operators.validate import incremental_validate
+
+        day1 = spark.createDataFrame(
+            [(1, 5), (2, -1), (3, 7)], "doc_id long, n long")
+        out1 = incremental_validate(day1, None, self.RS, "doc_id")
+        v1 = {r.doc_id: r.valid for r in out1.collect()}
+        assert v1 == {1: True, 2: False, 3: True}
+
+        # day 2: doc 2 fixed (changed), doc 3 unchanged, doc 4 new,
+        # doc 1 removed
+        day2 = spark.createDataFrame(
+            [(2, 1), (3, 7), (4, -9)], "doc_id long, n long")
+        out2 = incremental_validate(day2, out1, self.RS, "doc_id")
+        v2 = {r.doc_id: r.valid for r in out2.collect()}
+        assert v2 == {2: True, 3: True, 4: False}
+        # output is directly usable as the next run's previous
+        day3 = spark.createDataFrame(
+            [(2, 1), (3, 7), (4, 0)], "doc_id long, n long")
+        out3 = incremental_validate(day3, out2, self.RS, "doc_id")
+        assert {r.doc_id: r.valid for r in out3.collect()} == \
+            {2: True, 3: True, 4: True}
+
+    def test_matches_full_validation(self, spark):
+        from valico_spark.operators.validate import (
+            incremental_validate, validate_dataframe,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet") \
+            .withColumnRenamed("o_orderkey", "doc_id")
+        rs = {"type": "object", "required": ["doc_id"],
+              "properties": {"o_totalprice":
+                             {"type": "number", "maximum": 400000}}}
+        first = incremental_validate(docs.limit(800), None, rs, "doc_id")
+        second = incremental_validate(docs, first, rs, "doc_id")
+        full = validate_dataframe(
+            docs.withColumn(
+                "__fp", F.lit(0)), rs).drop("__fp")
+        a = sorted((r.doc_id, r.valid) for r in second.collect())
+        b = sorted((r.doc_id, r.valid) for r in full.collect())
+        assert a == b

@@ -296,3 +296,52 @@ def validate_column(df: DataFrame, column: str, ruleset: Any,
                           ).compile(ruleset, target)
     out = df.withColumn("violations", viol)
     return out.withColumn("valid", F.size("violations") == 0)
+
+
+def content_fingerprint(df: DataFrame, id_col: str) -> Column:
+    """Row-content hash over every column except the id — the
+    change-detection key for incremental validation. xxhash64 over the
+    struct of columns is JVM-native and order-stable for a fixed
+    schema."""
+    cols = [c for c in df.columns if c != id_col]
+    return F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+
+
+def incremental_validate(docs: DataFrame, previous: DataFrame | None,
+                         ruleset: Any, key_col: str,
+                         version: int = DRAFT7,
+                         mode: str = "auto") -> DataFrame:
+    """Validate only NEW or CHANGED documents, reusing prior verdicts.
+
+    The daily-run pattern at corpus scale: most of a 10^12-doc table is
+    unchanged between runs, and re-validating it is the dominant wasted
+    cost. ``previous`` is an earlier output of this function (or
+    ``validate_dataframe`` + ``with_fingerprint``): rows whose
+    ``(key, __fp)`` content hash matches carry their verdict forward
+    WITHOUT re-evaluating the plan; everything else (new keys, changed
+    content) goes through the full ruleset.
+
+    Shape: one equi-join on the key (sort-merge over bucketed layouts at
+    scale) + the validation map stage over only the changed sliver.
+    Output schema = input columns + ``__fp``, ``valid``, ``violations``
+    — directly usable as the next run's ``previous``.
+    """
+    fp = content_fingerprint(docs, key_col)
+    cur = docs.withColumn("__fp", fp)
+    if previous is None:
+        out = validate_dataframe(cur, ruleset, version=version, mode=mode)
+        return out
+    prev = previous.select(F.col(key_col).alias("__pk"),
+                           F.col("__fp").alias("__pfp"),
+                           F.col("valid").alias("__pvalid"),
+                           F.col("violations").alias("__pviol"))
+    joined = cur.join(prev, (cur[key_col] == prev["__pk"])
+                      & (cur["__fp"] == prev["__pfp"]), "left")
+    unchanged = (joined.where(F.col("__pk").isNotNull())
+                       .select(*cur.columns,
+                               F.col("__pviol").alias("violations"),
+                               F.col("__pvalid").alias("valid")))
+    changed = joined.where(F.col("__pk").isNull()).select(*cur.columns)
+    revalidated = validate_dataframe(changed, ruleset, version=version,
+                                     mode=mode)
+    return unchanged.unionByName(revalidated)
