@@ -331,10 +331,14 @@ def incremental_validate(docs: DataFrame, previous: DataFrame | None,
     if previous is None:
         out = validate_dataframe(cur, ruleset, version=version, mode=mode)
         return out
-    prev = previous.select(F.col(key_col).alias("__pk"),
-                           F.col("__fp").alias("__pfp"),
-                           F.col("valid").alias("__pvalid"),
-                           F.col("violations").alias("__pviol"))
+    # dropDuplicates guards the lookup side against duplicated keys
+    # (the corpus seeds ~0.1% dup doc_ids): same (key, fp) -> same
+    # verdict, so keeping one is lossless and the join cannot fan out
+    prev = (previous.select(F.col(key_col).alias("__pk"),
+                            F.col("__fp").alias("__pfp"),
+                            F.col("valid").alias("__pvalid"),
+                            F.col("violations").alias("__pviol"))
+                    .dropDuplicates(["__pk", "__pfp"]))
     joined = cur.join(prev, (cur[key_col] == prev["__pk"])
                       & (cur["__fp"] == prev["__pfp"]), "left")
     unchanged = (joined.where(F.col("__pk").isNotNull())
