@@ -1363,6 +1363,10 @@ def kw_items(def_, ctx, settings):
 
 
 def kw_contains(def_, ctx, settings):
+    if "contains" not in def_:
+        # keyword_key_exists! (keywords/mod.rs:44-53): min/maxContains
+        # without contains compile to nothing
+        return None
     contains = def_["contains"]
     max_contains = min_contains = None
     if settings.version >= DRAFT2019:
