@@ -473,6 +473,17 @@ def q_decontaminate_docs(spark, sf_dir):
     return contamination_report(corpus, bench, n=8)
 
 
+def q_heavy_hitters_source(spark, sf_dir):
+    """Exact top-10 heavy hitters of documents.source: one map-side-
+    combined count shuffle (size = cardinality) + tiny ranked reduction
+    (exact oracle). The operator's approximate mode bounds the shuffle
+    by a deterministic row-sampled candidate set for high-cardinality
+    columns."""
+    from valico_spark.operators.stats import heavy_hitters
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "source", k=10)
+
+
 def q_domain_counts(spark, sf_dir):
     """URL curation stage: deterministic synthetic URLs injected per doc
     (driver tables carry none), corpus-wide domain histogram — explode +
@@ -632,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "chunk_text_docs": q_chunk_text_docs,
         "domain_counts": q_domain_counts,
+        "heavy_hitters_source": q_heavy_hitters_source,
     }
 
 
@@ -1517,6 +1529,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
                    count(*)::BIGINT AS n_urls
             FROM d GROUP BY domain
+        """,
+        "heavy_hitters_source": """
+            WITH c AS (
+              SELECT source AS value, count(*)::BIGINT AS n
+              FROM documents GROUP BY source
+            )
+            SELECT value, n,
+                   row_number() OVER (ORDER BY n DESC, value ASC)::BIGINT
+                     AS rank
+            FROM c ORDER BY rank LIMIT 10
         """,
     }
 

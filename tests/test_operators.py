@@ -405,3 +405,35 @@ class TestIncrementalValidate:
         a = sorted((r.doc_id, r.valid) for r in second.collect())
         b = sorted((r.doc_id, r.valid) for r in full.collect())
         assert a == b
+
+
+class TestHeavyHitters:
+    def test_exact_and_approx_agree_on_true_hitters(self, spark):
+        from valico_spark.operators.stats import heavy_hitters
+
+        # zipf-ish: value v appears ~ 600/v times
+        rows = []
+        rid = 0
+        for v in range(1, 40):
+            for _ in range(600 // v):
+                rows.append((rid, f"val{v:02d}"))
+                rid += 1
+        df = spark.createDataFrame(rows, "rid long, v string")
+        exact = heavy_hitters(df, "v", k=5).collect()
+        assert [r.value for r in exact] == \
+            [f"val{i:02d}" for i in range(1, 6)]
+        assert exact[0].n == 600 and exact[0].rank == 1
+        approx = heavy_hitters(df, "v", k=5, exact=False, id_col="rid",
+                               sample_rate=0.05).collect()
+        # surviving counts are exact and the true top-5 all appear:
+        # each has >=120 rows, P(miss) <= 0.95^120 ~ 2e-3
+        assert {r.value for r in approx} == {r.value for r in exact}
+        assert all(a.n == e.n for a, e in zip(approx, exact))
+
+    def test_approx_requires_id_col(self, spark):
+        from valico_spark.operators.stats import heavy_hitters
+
+        df = spark.createDataFrame([(1, "a")], "rid long, v string")
+        import pytest as _p
+        with _p.raises(ValueError):
+            heavy_hitters(df, "v", exact=False)

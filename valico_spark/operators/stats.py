@@ -145,3 +145,50 @@ def profile_exact_numeric(df: DataFrame, columns: list[str],
         (F.col("sum_scaled") / (F.lit(float(mult)) * F.col("n_nonnull")))
         .alias("mean"),
         mean_milli.alias("mean_milli"))
+
+
+def heavy_hitters(df: DataFrame, column: str, k: int = 10,
+                  exact: bool = True, id_col: str | None = None,
+                  sample_rate: float = 0.05) -> DataFrame:
+    """Top-k most frequent values of ``column``.
+
+    ``exact=True``: groupBy count + window top-k — one shuffle keyed on
+    the value (map-side combined, shuffle size = cardinality) plus a
+    tiny ranked reduction; ties broken by value. The CI / oracle mode.
+
+    ``exact=False``: the high-cardinality mode — candidates come from a
+    DETERMINISTIC hash-keyed ROW sample (keyed on ``id_col``, required:
+    a value occurring c times misses a rate-r sample with probability
+    (1-r)^c — vanishing for every true heavy hitter; sampling keyed on
+    the VALUE would instead drop whole heavy values w.p. 1-r), and
+    only the candidate set is counted exactly via a broadcast semi-join
+    — so the full-cardinality value-keyed shuffle never happens; the
+    shuffle is bounded by |candidates|. Counts for survivors are exact;
+    the approximation risk is only a sub-threshold value missing the
+    sample, which tests bound.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("value"))
+    if exact:
+        counts = (df.groupBy(F.col(column).alias("value"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+    else:
+        from valico_spark.operators.sampling import sample_hash
+
+        if id_col is None:
+            raise ValueError("approximate mode needs id_col for the "
+                             "deterministic row sample")
+        cand = (df.select(F.col(column).alias("value"))
+                  .where(sample_hash(F.xxhash64(F.col(id_col)))
+                         < F.lit(int(sample_rate * (2 ** 31 - 1))))
+                  .distinct())
+        counts = (df.join(F.broadcast(
+                        cand.select(F.col("value").alias(column))),
+                        column)
+                    .groupBy(F.col(column).alias("value"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("value", "n",
+                          F.col("rank").cast("long").alias("rank")))
