@@ -70,6 +70,14 @@ def make_violation(code: str, path: Column, detail: Column | None = None,
     )
 
 
+def unicode_pattern(p: str) -> str:
+    """Java regex defaults \\d/\\w/\\s/\\b to ASCII; the reference's
+    fancy_regex (and the walker's Python ``re``) are Unicode-first.
+    (?U) = UNICODE_CHARACTER_CLASS aligns ``rlike`` with them (pinned by
+    the pattern-unicode-classes conformance group)."""
+    return "(?U)" + p
+
+
 def _maybe(cond: Column, violation: Column) -> Column:
     """Array with one violation when ``cond`` (guarded) else empty."""
     return F.when(cond, F.array(violation)).otherwise(empty_violations())
@@ -547,13 +555,13 @@ class ColumnCompiler:
         for k, sub in props.items():
             conds.append((key == F.lit(k)) & sub_ok(sub))
         for pat, psub in patterns.items():
-            conds.append(key.rlike(pat) & sub_ok(psub))
+            conds.append(key.rlike(unicode_pattern(pat)) & sub_ok(psub))
         if additional is not None:
             is_known = F.lit(False)
             if props:
                 is_known = is_known | key.isin(list(props))
             for pat in patterns:
-                is_known = is_known | key.rlike(pat)
+                is_known = is_known | key.rlike(unicode_pattern(pat))
             if additional is True:
                 conds.append(~is_known)
             elif additional is not False:
@@ -829,7 +837,7 @@ class ColumnCompiler:
             raise UnsupportedRule("pattern must be a string")
         if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
             return empty_violations()
-        ok = t.col.rlike(p)  # unanchored find(), like the reference
+        ok = t.col.rlike(unicode_pattern(p))  # unanchored, like find()
         return _maybe(t.col.isNotNull() & ~ok,
                       make_violation("pattern", t.path))
 
@@ -989,7 +997,7 @@ class ColumnCompiler:
             if prop_case is not None:
                 parts.append(prop_case.otherwise(empty_violations()))
             for pat, sub in patterns.items():
-                parts.append(F.when(key.rlike(pat),
+                parts.append(F.when(key.rlike(unicode_pattern(pat)),
                                     self._node(sub, child, depth + 1)
                                     ).otherwise(empty_violations()))
             if additional is not None:
@@ -997,7 +1005,7 @@ class ColumnCompiler:
                 if props:
                     is_known = is_known | key.isin(list(props))
                 for p in patterns:
-                    is_known = is_known | key.rlike(p)
+                    is_known = is_known | key.rlike(unicode_pattern(p))
                 if additional is False:
                     parts.append(F.when(~is_known, F.array(make_violation(
                         "properties", t.path,

@@ -192,7 +192,8 @@ class CountCompiler(ColumnCompiler):
             raise UnsupportedRule("pattern must be a string")
         if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
             return ZERO
-        return _b2c(t.col.isNotNull() & ~t.col.rlike(p))
+        from valico_spark.compiler.columns import unicode_pattern
+        return _b2c(t.col.isNotNull() & ~t.col.rlike(unicode_pattern(p)))
 
     def _c_format(self, name, t):
         return F.size(self._format(name, t)).cast("long")

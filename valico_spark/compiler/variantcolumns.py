@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from valico_spark.compiler.columns import (
     ColumnCompiler, UnsupportedRule, empty_violations, make_violation,
-    _concat, _maybe, _states_json,
+    _concat, _maybe, _states_json, unicode_pattern,
 )
 from valico_spark.compiler.pyvalidator import (
     DRAFT2019, DRAFT7, EPSILON, PRIMITIVE_TYPES, is_number,
@@ -460,7 +460,8 @@ class VariantCompiler:
     def _pattern(self, p: Any, t: VTarget) -> Column:
         if not isinstance(p, str):
             raise UnsupportedRule("pattern must be a string")
-        bad = t.col.isNotNull() & _is_str(t.col) & ~_str(t.col).rlike(p)
+        bad = t.col.isNotNull() & _is_str(t.col) \
+            & ~_str(t.col).rlike(unicode_pattern(p))
         return _maybe(bad, make_violation("pattern", t.path))
 
     def _format(self, name: Any, t: VTarget) -> Column:
@@ -525,7 +526,7 @@ class VariantCompiler:
             if prop_case is not None:
                 parts.append(prop_case.otherwise(empty_violations()))
             for pat, sub in patterns.items():
-                parts.append(F.when(key.rlike(pat),
+                parts.append(F.when(key.rlike(unicode_pattern(pat)),
                                     self._node(sub, child, depth + 1)
                                     ).otherwise(empty_violations()))
             if additional is not None:
@@ -533,7 +534,7 @@ class VariantCompiler:
                 if props:
                     is_known = is_known | key.isin(list(props))
                 for p in patterns:
-                    is_known = is_known | key.rlike(p)
+                    is_known = is_known | key.rlike(unicode_pattern(p))
                 if additional is False:
                     parts.append(F.when(~is_known, F.array(make_violation(
                         "properties", t.path,
@@ -788,13 +789,13 @@ class VariantCompiler:
         for k, sub in props.items():
             conds.append((key == F.lit(k)) & sub_ok(sub))
         for pat, psub in patterns.items():
-            conds.append(key.rlike(pat) & sub_ok(psub))
+            conds.append(key.rlike(unicode_pattern(pat)) & sub_ok(psub))
         if additional is not None:
             is_known = F.lit(False)
             if props:
                 is_known = is_known | key.isin(list(props))
             for pat in patterns:
-                is_known = is_known | key.rlike(pat)
+                is_known = is_known | key.rlike(unicode_pattern(pat))
             if additional is True:
                 conds.append(~is_known)
             elif additional is not False:
