@@ -74,8 +74,15 @@ def unicode_pattern(p: str) -> str:
     """Java regex defaults \\d/\\w/\\s/\\b to ASCII; the reference's
     fancy_regex (and the walker's Python ``re``) are Unicode-first.
     (?U) = UNICODE_CHARACTER_CLASS aligns ``rlike`` with them (pinned by
-    the pattern-unicode-classes conformance group)."""
-    return "(?U)" + p
+    the pattern-unicode-classes conformance group). Applied only when a
+    shorthand class actually appears — for every other pattern the flag
+    is a semantic no-op and would only disturb the matcher's fast
+    paths in the regex-heavy validate hot loop."""
+    import re as _re
+
+    if _re.search(r"\\[dwsbDWSB]", p):
+        return "(?U)" + p
+    return p
 
 
 def _maybe(cond: Column, violation: Column) -> Column:
