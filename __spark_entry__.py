@@ -419,6 +419,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware cluster survivors: near-dup clusters -> keep the
+    LONGEST document per cluster (argmax n_chars, ties to min id) —
+    the keep-rule step after clustering (exact oracle)."""
+    from valico_spark.operators.graph import select_representatives
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    out = select_representatives(clusters, docs, "n_chars")
+    return out.select("doc_id", "component", "cluster_size", "n_chars",
+                      "keep")
+
+
 def q_dedup_jaccard_prefix(spark, sf_dir):
     """Exact whole-corpus Jaccard self-join over 3-word shingles via
     PPJoin-style prefix filtering — rarest-first shingle prefixes,
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text_docs": q_chunk_text_docs,
         "domain_counts": q_domain_counts,
         "heavy_hitters_source": q_heavy_hitters_source,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1529,6 +1542,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
                    count(*)::BIGINT AS n_urls
             FROM d GROUP BY domain
+        """,
+        "dedup_keep_best": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
+                         BIGINT) AS VARCHAR) AS blk,
+                     list_distinct([substr(text, i, 3)
+                       FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
+                       AS grams
+              FROM documents
+            ), pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b
+                ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))
+                    / greatest(len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams)), 1)
+                    >= 0.8
+            ), edges AS (
+              SELECT a_id AS u, b_id AS v FROM pairs
+              UNION
+              SELECT b_id, a_id FROM pairs
+            ), reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+              SELECT u AS id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT c.id AS doc_id, c.component, s.cluster_size,
+                   d.n_chars,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY d.n_chars DESC,
+                                               c.id ASC) = 1 AS keep
+            FROM comp c
+            JOIN (SELECT component, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY component) s USING (component)
+            JOIN documents d ON d.doc_id = c.id
         """,
         "heavy_hitters_source": """
             WITH c AS (

@@ -158,3 +158,20 @@ class TestConnectedComponents:
                 for r in connected_components(pairs).collect()}
         assert set(comp.values()) == {0}
         assert len(comp) == n + 1
+
+
+class TestSelectRepresentatives:
+    def test_keep_highest_score_ties_to_min_id(self, spark):
+        from valico_spark.operators.graph import select_representatives
+
+        clusters = spark.createDataFrame(
+            [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)],
+            "doc_id long, component long, cluster_size long")
+        scored = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0)],
+            "doc_id long, q double")
+        out = {r.doc_id: r.keep for r in select_representatives(
+            clusters, scored, "q").collect()}
+        # component 1: score tie between 2 and 3 -> min id 2 survives
+        assert out == {1: False, 2: True, 3: False,
+                       10: True, 11: False}

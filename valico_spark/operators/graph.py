@@ -70,3 +70,26 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
                 .select(F.col("id").alias("doc_id"),
                         F.col("comp").alias("component"),
                         F.col("cluster_size")))
+
+
+def select_representatives(clusters: DataFrame, scored: DataFrame,
+                           score_col: str,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Pick the cluster survivor by QUALITY, not accident: per
+    component, ``keep`` marks the highest-``score_col`` document (ties
+    to the smallest id — deterministic on any engine). The standard
+    dedup keep-rules (longest doc, highest quality score, earliest
+    crawl) are all this operator with a different score column.
+
+    One join on the doc id + a window over the component — both keyed
+    shuffles bounded by the clustered sliver, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    j = clusters.join(
+        scored.select(F.col(id_col).alias("doc_id"),
+                      F.col(score_col).alias("__score")), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__score"), F.asc("doc_id"))
+    return (j.withColumn("keep", F.row_number().over(w) == 1)
+             .withColumnRenamed("__score", score_col))
