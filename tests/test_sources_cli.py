@@ -241,3 +241,32 @@ class TestSparkSubmitLaunch:
         assert proc2.returncode == 0, proc2.stderr[-2000:]
         summary2 = _json.loads(proc2.stdout.strip().splitlines()[-1])
         assert summary2["processed_buckets"] == 0
+
+
+class TestEmptyInputs:
+    def test_every_driver_query_survives_empty_tables(self, spark,
+                                                      tmp_path):
+        """Zero-row versions of every driver table (the empty-partition
+        / empty-source case at scale): every queries() entry must plan
+        and execute to an empty (or schema-only) result, never raise.
+        Caught two real ANN crashes (None dim probe, empty k-means
+        sample) when first introduced."""
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entrymod
+
+        src = "/root/testdata/sf0.001"
+        dst = str(tmp_path / "empty_sf")
+        os.makedirs(dst)
+        for name in ("region nation customer supplier part orders "
+                     "lineitem events documents embeddings").split():
+            schema = pq.ParquetFile(f"{src}/{name}.parquet").schema_arrow
+            pq.write_table(schema.empty_table(),
+                           f"{dst}/{name}.parquet")
+        failures = []
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, dst).count()
+            except Exception as ex:  # noqa: BLE001 - collecting all
+                failures.append((name, type(ex).__name__, str(ex)[:120]))
+        assert not failures, failures

@@ -178,7 +178,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     if dim is None:
         # driver action on the small query relation, never the corpus
-        dim = len(queries.select(vec_col).first()[0])
+        row = queries.select(vec_col).first()
+        if row is None or row[0] is None:
+            dim = 1  # no queries: any plane dim yields the empty result
+        else:
+            dim = len(row[0])
     plane_sets = [srp_planes(dim, bits, seed + 7919 * t)
                   for t in range(tables)]
 
@@ -254,9 +258,20 @@ def _sample_centroids(df: DataFrame, id_col: str, vec_col: str,
               .orderBy(id_col).limit(int(sample_size))
               .select(vec_col).collect())
     if not rows:
-        raise ValueError("cannot train centroids on an empty corpus")
+        return None  # empty corpus: callers emit the empty result
     sample = np.array([r[0] for r in rows], dtype=float)
     return _kmeans_centroids(sample, k, seed=seed)
+
+
+def _empty_topk(corpus: DataFrame, queries: DataFrame,
+                id_col: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    return corpus.sparkSession.createDataFrame([], T.StructType([
+        T.StructField("q_id", queries.schema[id_col].dataType),
+        T.StructField("n_id", corpus.schema[id_col].dataType),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("sim", T.DoubleType())]))
 
 
 def _centroid_scores(vec: Column, centroids: "np.ndarray") -> Column:
@@ -288,6 +303,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     if centroids is None:
         centroids = _sample_centroids(corpus, id_col, vec_col,
                                       sample_size, n_centroids, seed)
+        if centroids is None:  # empty corpus: empty result, same schema
+            return _empty_topk(corpus, queries, id_col)
     c_scores = _centroid_scores(F.col(vec_col), centroids)
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
@@ -349,6 +366,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     if centroids is None:
         centroids = _sample_centroids(df, id_col, vec_col,
                                       sample_size, n_centroids, seed)
+        if centroids is None:  # empty corpus: nothing to drop
+            from pyspark.sql import types as T
+            idt = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame([], T.StructType([
+                T.StructField("dropped_id", idt),
+                T.StructField("kept_id", idt),
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("max_sim", T.DoubleType())]))
     scores = _centroid_scores(F.col(vec_col), centroids)
     cells = (ensure_min_partitions(df)
              .select(F.col(id_col).alias("vid"),
