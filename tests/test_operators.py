@@ -437,3 +437,73 @@ class TestHeavyHitters:
         import pytest as _p
         with _p.raises(ValueError):
             heavy_hitters(df, "v", exact=False)
+
+
+class TestReviewRegressions:
+    def test_incremental_validate_closed_schema_unaffected_by_fp(
+            self, spark):
+        from valico_spark.operators.validate import incremental_validate
+
+        rs = {"type": "object", "additionalProperties": False,
+              "properties": {"doc_id": {}, "n": {"minimum": 0}},
+              "required": ["doc_id"]}
+        docs = spark.createDataFrame([(1, 5), (2, -1)],
+                                     "doc_id long, n long")
+        out = incremental_validate(docs, None, rs, "doc_id")
+        v = {r.doc_id: r.valid for r in out.collect()}
+        # __fp must NOT leak into additionalProperties
+        assert v == {1: True, 2: False}
+        out2 = incremental_validate(docs, out, rs, "doc_id")
+        assert {r.doc_id: r.valid for r in out2.collect()} == v
+
+    def test_incremental_validate_ruleset_change_revalidates(self, spark):
+        from valico_spark.operators.validate import incremental_validate
+
+        docs = spark.createDataFrame([(1, -1)], "doc_id long, n long")
+        strict = {"properties": {"n": {"minimum": 0}}}
+        relaxed = {"properties": {"n": {"minimum": -10}}}
+        out1 = incremental_validate(docs, None, strict, "doc_id")
+        assert out1.collect()[0].valid is False
+        out2 = incremental_validate(docs, out1, relaxed, "doc_id")
+        # changed ruleset -> fingerprint miss -> fresh verdict
+        assert out2.collect()[0].valid is True
+
+    def test_url_ops_null_text(self, spark):
+        from valico_spark.operators.text import (
+            filter_blocklisted_domains, url_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "see https://bad.org/x")],
+            "doc_id long, text string")
+        stats = {r.doc_id: r for r in url_stats(df).collect()}
+        assert stats[1].n_urls == 0 and stats[1].urls == []
+        kept = sorted(r.doc_id for r in filter_blocklisted_domains(
+            df, ["bad.org"]).collect())
+        assert kept == [1]  # null-text doc survives; bad.org doc dropped
+
+    def test_heavy_hitters_approx_counts_null(self, spark):
+        from valico_spark.operators.stats import heavy_hitters
+
+        rows = [(i, None if i % 2 == 0 else f"v{i % 5}")
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "rid long, v string")
+        exact = heavy_hitters(df, "v", k=1).collect()
+        approx = heavy_hitters(df, "v", k=1, exact=False, id_col="rid",
+                               sample_rate=0.2).collect()
+        assert exact[0].value is None and exact[0].n == 200
+        assert approx[0].value is None and approx[0].n == 200
+
+    def test_lsh_null_first_query_embedding_probes_real_dim(self, spark):
+        from valico_spark.operators import similarity
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0, 0.5, 0.1]) for i in range(20)],
+            "vec_id long, embedding array<double>")
+        queries = spark.createDataFrame(
+            [(100, None), (101, [1.0, 1.0, 0.5, 0.1])],
+            "vec_id long, embedding array<double>")
+        out = similarity.lsh_topk(corpus, queries, k=3, bits=4, tables=2)
+        got = {r.q_id for r in out.collect()}
+        # the non-null query gets neighbors; the null one yields nothing
+        assert 101 in got

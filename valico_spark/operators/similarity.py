@@ -177,10 +177,14 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     query side only.
     """
     if dim is None:
-        # driver action on the small query relation, never the corpus
-        row = queries.select(vec_col).first()
-        if row is None or row[0] is None:
-            dim = 1  # no queries: any plane dim yields the empty result
+        # driver action on the small query relation, never the corpus;
+        # probe the first NON-NULL vector — a null first row must not
+        # silently pick dim=1 planes (which would hash every vector to
+        # bucket 0 and turn the candidate join into a cross product)
+        row = (queries.select(vec_col)
+                      .where(F.col(vec_col).isNotNull()).first())
+        if row is None:
+            dim = 1  # no scoreable queries: result is empty anyway
         else:
             dim = len(row[0])
     plane_sets = [srp_planes(dim, bits, seed + 7919 * t)

@@ -174,19 +174,20 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 10,
         counts = (df.groupBy(F.col(column).alias("value"))
                     .agg(F.count(F.lit(1)).alias("n")))
     else:
-        from valico_spark.operators.sampling import sample_hash
+        from valico_spark.operators.sampling import _M31, sample_hash
 
         if id_col is None:
             raise ValueError("approximate mode needs id_col for the "
                              "deterministic row sample")
         cand = (df.select(F.col(column).alias("value"))
                   .where(sample_hash(F.xxhash64(F.col(id_col)))
-                         < F.lit(int(sample_rate * (2 ** 31 - 1))))
+                         < F.lit(int(sample_rate * _M31)))
                   .distinct())
-        counts = (df.join(F.broadcast(
-                        cand.select(F.col("value").alias(column))),
-                        column)
-                    .groupBy(F.col(column).alias("value"))
+        # null-safe join: NULL can be a legitimate heavy hitter (exact
+        # mode counts it), so the candidate probe must not drop it
+        counts = (df.join(F.broadcast(cand),
+                          df[column].eqNullSafe(cand["value"]))
+                    .groupBy(cand["value"])
                     .agg(F.count(F.lit(1)).alias("n")))
     return (counts.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)

@@ -301,7 +301,9 @@ def url_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Per-document URL inventory: extracted URLs, count, and distinct
     lowercased domains — pure codegen regexp_extract_all, no shuffle."""
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    urls = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0),
+        F.array().cast("array<string>"))
     domains = F.array_distinct(F.transform(
         urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1))))
     return df.select(
@@ -332,7 +334,11 @@ def filter_blocklisted_domains(df: DataFrame, blocklist: list[str],
     is a literal array (KBs even for large lists) evaluated per row —
     no join, no shuffle; at millions of entries switch to a broadcast
     anti-join on the exploded domain table instead."""
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    # null text has no URLs: keep the document (regexp over NULL is
+    # NULL, and size(NULL) would otherwise silently drop the row)
+    urls = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0),
+        F.array().cast("array<string>"))
     domains = F.transform(
         urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)))
     bad = F.array(*[F.lit(d.lower()) for d in blocklist])

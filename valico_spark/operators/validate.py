@@ -298,13 +298,23 @@ def validate_column(df: DataFrame, column: str, ruleset: Any,
     return out.withColumn("valid", F.size("violations") == 0)
 
 
-def content_fingerprint(df: DataFrame, id_col: str) -> Column:
+def content_fingerprint(df: DataFrame, id_col: str,
+                        ruleset: Any = None) -> Column:
     """Row-content hash over every column except the id — the
     change-detection key for incremental validation. xxhash64 over the
     struct of columns is JVM-native and order-stable for a fixed
-    schema."""
+    schema. When ``ruleset`` is given it is folded into the hash, so a
+    verdict computed under a DIFFERENT ruleset never matches — changing
+    the rules forces full revalidation instead of silently serving
+    stale verdicts."""
+    import json as _json
+
     cols = [c for c in df.columns if c != id_col]
-    return F.xxhash64(F.struct(*[F.col(c) for c in cols]))
+    parts = [F.struct(*[F.col(c) for c in cols])]
+    if ruleset is not None:
+        parts.append(F.lit(_json.dumps(ruleset, sort_keys=True,
+                                       default=str)))
+    return F.xxhash64(*parts)
 
 
 def incremental_validate(docs: DataFrame, previous: DataFrame | None,
@@ -326,11 +336,15 @@ def incremental_validate(docs: DataFrame, previous: DataFrame | None,
     Output schema = input columns + ``__fp``, ``valid``, ``violations``
     — directly usable as the next run's ``previous``.
     """
-    fp = content_fingerprint(docs, key_col)
-    cur = docs.withColumn("__fp", fp)
+    # fingerprint covers row content AND the ruleset; validation always
+    # runs on the ORIGINAL columns (appending __fp first would leak a
+    # synthetic property into closed-schema keywords like
+    # additionalProperties/maxProperties and flip verdicts)
+    fp = content_fingerprint(docs, key_col, ruleset)
     if previous is None:
-        out = validate_dataframe(cur, ruleset, version=version, mode=mode)
-        return out
+        return validate_dataframe(docs, ruleset, version=version,
+                                  mode=mode).withColumn("__fp", fp)
+    cur = docs.withColumn("__fp", fp)
     # dropDuplicates guards the lookup side against duplicated keys
     # (the corpus seeds ~0.1% dup doc_ids): same (key, fp) -> same
     # verdict, so keeping one is lossless and the join cannot fan out
@@ -345,7 +359,7 @@ def incremental_validate(docs: DataFrame, previous: DataFrame | None,
                        .select(*cur.columns,
                                F.col("__pviol").alias("violations"),
                                F.col("__pvalid").alias("valid")))
-    changed = joined.where(F.col("__pk").isNull()).select(*cur.columns)
+    changed = joined.where(F.col("__pk").isNull()).select(*docs.columns)
     revalidated = validate_dataframe(changed, ruleset, version=version,
-                                     mode=mode)
+                                     mode=mode).withColumn("__fp", fp)
     return unchanged.unionByName(revalidated)
