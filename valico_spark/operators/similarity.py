@@ -259,10 +259,12 @@ def _sample_centroids(df: DataFrame, id_col: str, vec_col: str,
     centroids run to run) -> spherical k-means. The only driver-side
     data movement, bounded by ``sample_size``."""
     rows = (df.select(id_col, vec_col)
+              .where(F.col(vec_col).isNotNull())
               .orderBy(id_col).limit(int(sample_size))
               .select(vec_col).collect())
     if not rows:
-        return None  # empty corpus: callers emit the empty result
+        # empty corpus OR all-null vectors: callers emit the empty result
+        return None
     sample = np.array([r[0] for r in rows], dtype=float)
     return _kmeans_centroids(sample, k, seed=seed)
 
