@@ -270,3 +270,31 @@ class TestEmptyInputs:
             except Exception as ex:  # noqa: BLE001 - collecting all
                 failures.append((name, type(ex).__name__, str(ex)[:120]))
         assert not failures, failures
+
+    def test_every_driver_query_survives_all_null_rows(self, spark,
+                                                       tmp_path):
+        """Rows present but every column NULL (failed upstream extract):
+        queries must degrade to empty/zero results, never raise. Caught
+        a numpy AxisError in IVF centroid sampling when introduced."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entrymod
+
+        src = "/root/testdata/sf0.001"
+        dst = str(tmp_path / "null_sf")
+        os.makedirs(dst)
+        for name in ("region nation customer supplier part orders "
+                     "lineitem events documents embeddings").split():
+            schema = pq.ParquetFile(f"{src}/{name}.parquet").schema_arrow
+            cols = {f.name: pa.array([None] * 20, f.type)
+                    for f in schema}
+            pq.write_table(pa.table(cols, schema=schema),
+                           f"{dst}/{name}.parquet")
+        failures = []
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, dst).count()
+            except Exception as ex:  # noqa: BLE001 - collecting all
+                failures.append((name, type(ex).__name__, str(ex)[:120]))
+        assert not failures, failures
