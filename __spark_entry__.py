@@ -96,8 +96,12 @@ def q_stats_profile_lineitem(spark, sf_dir):
     # partition-order-independent mean (integer centi-sums) so the value
     # is bit-identical across engines and parallelism levels
     prof = stats.profile_exact_numeric(li, cols, value_scale=2)
+    # mean is exported as the exact integer milli-mean (BIGINT), not a
+    # derived double: dividing by 1000.0 reintroduces engine-specific
+    # float formatting at the driver's hash layer (r1+r2 red cell) even
+    # though the integer is bit-identical everywhere. Consumers divide.
     return prof.select("column", "n_rows", "null_count", "distinct_count",
-                       (F.col("mean_milli") / 1000.0).alias("mean_r"))
+                       F.col("mean_milli"))
 
 
 def q_drift_chisq_event_type(spark, sf_dir):
@@ -238,11 +242,15 @@ def q_agg_rollup_orders(spark, sf_dir):
     reference, core to the engine): ROLLUP over (status, priority) in one
     Expand+HashAggregate — no per-level re-scans."""
     o = _t(spark, sf_dir, "orders")
+    # grouping_id disambiguates ROLLUP subtotal NULLs from genuine NULL
+    # group values — without it, the subtotal row and a NULL-key row are
+    # indistinguishable to a row-sorting comparer (r2 red cell)
     return (o.rollup("o_orderstatus", "o_orderpriority")
-             .agg(F.count(F.lit(1)).alias("n_orders"),
+             .agg(F.grouping_id().cast("long").alias("gid"),
+                  F.count(F.lit(1)).alias("n_orders"),
                   F.sum(F.round(F.col("o_totalprice") * 100, 0)
                          .cast("long")).alias("sum_price_cents"))
-             .select("o_orderstatus", "o_orderpriority", "n_orders",
+             .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
                      "sum_price_cents"))
 
 
@@ -287,27 +295,56 @@ def q_date_math_orders(spark, sf_dir):
         F.dayofweek("o_orderdate").cast("long").alias("dow"))
 
 
+def _ann_lsh_planes():
+    """Deterministic literal SRP plane sets (4 tables x 4 bits x dim 64)
+    shared verbatim between the Spark plan and the generated DuckDB
+    oracle — rounded to 6 decimals so both engines parse identical
+    doubles and every sign test agrees bit-for-bit. Production trains/
+    draws these offline; correctness is plane-agnostic."""
+    import numpy as np
+    out = []
+    for t in range(4):
+        rng = np.random.default_rng(7 + 7919 * t)
+        out.append(np.round(rng.standard_normal((4, 64)), 6).tolist())
+    return out
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k on the SRP-LSH path (L tables + multi-probe).
-    Rows-only check: the seeded-numpy projection planes are not
-    reproducible in DuckDB SQL; recall vs brute force is pinned in
-    tests/test_dedup_similarity.py instead."""
+    """Approximate top-k on the SRP-LSH path (L tables + multi-probe),
+    over literal plane sets — exact oracle: the generated DuckDB SQL
+    rebuilds the same buckets/probes from the same literals (the
+    semdedup literal-structure pattern)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = similarity.lsh_topk(emb, queries, k=10, bits=4, tables=4)
+    out = similarity.lsh_topk(emb, queries, k=10,
+                              plane_sets=_ann_lsh_planes())
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"),
                       F.round("sim", 4).alias("sim_r"))
 
 
+def _ann_ivf_centroids():
+    """Deterministic literal IVF centroids (8 x dim 64, unit-norm,
+    6-decimal-rounded) shared verbatim with the generated DuckDB oracle.
+    Production trains these with spherical k-means offline (ivf_topk
+    does so from a bounded sample when centroids are not passed);
+    correctness is centroid-agnostic."""
+    import numpy as np
+    rng = np.random.default_rng(456)
+    c = rng.standard_normal((8, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c, 6)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (inverted-file: sampled spherical k-means
-    centroids, nprobe cell probing, exact rerank). Rows-only check: the
-    centroid training is not expressible in DuckDB SQL; recall vs brute
-    force is pinned in tests."""
+    """IVF approximate top-k (inverted-file: coarse cells, nprobe cell
+    probing, exact rerank) over literal centroids — exact oracle via the
+    same literals in generated DuckDB SQL; the sampled-k-means training
+    path is covered by recall-vs-brute-force tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = similarity.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3)
+    out = similarity.ivf_topk(emb, queries, k=10, nprobe=3,
+                              centroids=_ann_ivf_centroids())
     return out.select("q_id", "n_id",
                       F.col("rank").cast("long").alias("rank"),
                       F.round("sim", 4).alias("sim_r"))
@@ -572,10 +609,18 @@ def q_semdedup_embeddings(spark, sf_dir):
 
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization of the embedding column —
-    pure codegen arithmetic, engine-portable codes (exact oracle)."""
+    pure codegen arithmetic, engine-portable codes (exact oracle).
+
+    The code vector is exported as compact JSON text, not array<int>:
+    list-typed cells are unhashable/unsortable for a generic row
+    canonicalizer (r2 driver err), and `[1,-2,3]` is byte-identical
+    between Spark's to_json and DuckDB's (same trick as
+    frame_sample_docs' hex frames)."""
     from valico_spark.operators.similarity import quantize_embeddings
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    out = quantize_embeddings(emb)
+    return out.select("vec_id", "scale_r",
+                      F.to_json(F.col("qvec")).alias("qvec_json"))
 
 
 def q_stratified_sample_docs(spark, sf_dir):
@@ -797,6 +842,104 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b_id, cell
         """
 
+    # IVF ANN: same literal centroids as the Spark plan (q_ann_ivf_topk).
+    # Probe selection mirrors ivf_topk's array_sort((-score, idx)):
+    # score DESC, index ASC; corpus cell = first argmax position.
+    _ivf_cents = _ann_ivf_centroids()
+    _ivf_scores = "[" + ",".join(
+        f"list_dot_product(ed, {_arr(c)})" for c in _ivf_cents) + "]"
+    ivf_sql = f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, ed, {_ivf_scores} AS scores FROM e
+            ), corpus AS (
+              SELECT vec_id AS n_id, ed AS n_vec,
+                     sqrt(list_dot_product(ed, ed)) AS n_nrm,
+                     CAST(list_position(scores, list_max(scores)) - 1
+                          AS INT) AS cell
+              FROM s
+            ), qp AS (
+              SELECT vec_id AS q_id, ed AS q_vec,
+                     sqrt(list_dot_product(ed, ed)) AS q_nrm,
+                     CAST(t.i AS INT) AS cell
+              FROM s CROSS JOIN range({len(_ivf_cents)}) t(i)
+              WHERE vec_id < 5
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY scores[t.i+1] DESC,
+                                                  t.i ASC) <= 3
+            ), cand AS (
+              SELECT q_id, n_id,
+                     list_dot_product(q_vec, n_vec) / (q_nrm * n_nrm) AS sim
+              FROM qp JOIN corpus USING (cell)
+              WHERE q_id <> n_id
+            )
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, n_id)::BIGINT
+                     AS rank,
+                   round(sim, 4) AS sim_r
+            FROM cand
+            QUALIFY rank <= 10
+        """
+
+    # SRP-LSH ANN: same literal plane sets as q_ann_lsh_topk. Buckets =
+    # sign bits of plane dots; probes = own bucket + hamming-1 XORs;
+    # candidates dedup on (q,n) before the exact cosine rerank.
+    _planes = _ann_lsh_planes()
+    _n_tbl = len(_planes)
+    _n_bits = len(_planes[0])
+
+    def _bucket_expr(t: int) -> str:
+        parts = [
+            f"(CASE WHEN list_dot_product(ed, {_arr(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(_planes[t])]
+        return "(" + "\n                       + ".join(parts) + ")::BIGINT"
+
+    _buckets_union = "\n              UNION ALL\n              ".join(
+        f"SELECT vec_id, {t} AS tbl, {_bucket_expr(t)} AS bucket FROM e"
+        for t in range(_n_tbl))
+    _probe_list = ("[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i}::BIGINT)" for i in range(_n_bits)) + "]")
+    lsh_sql = f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ed
+              FROM embeddings
+            ), b AS (
+              {_buckets_union}
+            ), qprobe AS (
+              SELECT q_id, tbl, u.p AS bucket
+              FROM (SELECT vec_id AS q_id, tbl,
+                           list_distinct({_probe_list}) AS probes
+                    FROM b WHERE vec_id < 5) qb,
+                   unnest(qb.probes) AS u(p)
+            ), cand AS (
+              SELECT DISTINCT q_id, n_id
+              FROM qprobe
+              JOIN (SELECT vec_id AS n_id, tbl, bucket FROM b)
+                USING (tbl, bucket)
+              WHERE q_id <> n_id
+            ), v AS (
+              SELECT vec_id, ed, sqrt(list_dot_product(ed, ed)) AS nrm
+              FROM e
+            ), scored AS (
+              SELECT c.q_id, c.n_id,
+                     list_dot_product(q.ed, n.ed) / (q.nrm * n.nrm) AS sim
+              FROM cand c
+              JOIN v q ON c.q_id = q.vec_id
+              JOIN v n ON c.n_id = n.vec_id
+            )
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, n_id)::BIGINT
+                     AS rank,
+                   round(sim, 4) AS sim_r
+            FROM scored
+            QUALIFY rank <= 10
+        """
+
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     lang_scores = ",\n  ".join(
         _lang_score_sql(l, ws) for l, ws in sorted(LANG_MARKERS.items()))
@@ -859,42 +1002,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
                   AND o_orderkey IS NOT NULL)
         """,
-        # mean_r mirrors the Spark side's order-independent integer
+        # mean_milli mirrors the Spark side's order-independent integer
         # arithmetic: centi-scaled long sum, half-up at 3 decimals via
-        # floor((20s+n)/(2n)) — identical bits on any engine (avg() over
-        # doubles is summation-order-dependent at the 3rd decimal)
+        # floor((20s+n)/(2n)) — exported as the BIGINT milli-mean itself
+        # (a derived /1000.0 double reintroduces float formatting
+        # differences at the comparison layer; the integer is identical
+        # bits on any engine)
         "stats_profile_lineitem": """
             SELECT 'l_quantity' AS "column", count(*)::BIGINT AS n_rows,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT
                      AS null_count,
                    count(DISTINCT l_quantity)::BIGINT AS distinct_count,
-                   floor((20*sum(cast(round(l_quantity*100) AS BIGINT))
+                   CAST(floor((20*sum(cast(round(l_quantity*100) AS BIGINT))
                           + count(l_quantity)) / (2.0*count(l_quantity)))
-                     / 1000.0 AS mean_r
+                     AS BIGINT) AS mean_milli
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', count(*),
                    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT l_discount),
-                   floor((20*sum(cast(round(l_discount*100) AS BIGINT))
+                   CAST(floor((20*sum(cast(round(l_discount*100) AS BIGINT))
                           + count(l_discount)) / (2.0*count(l_discount)))
-                     / 1000.0
+                     AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'l_tax', count(*),
                    sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT l_tax),
-                   floor((20*sum(cast(round(l_tax*100) AS BIGINT))
-                          + count(l_tax)) / (2.0*count(l_tax)))
-                     / 1000.0
+                   CAST(floor((20*sum(cast(round(l_tax*100) AS BIGINT))
+                          + count(l_tax)) / (2.0*count(l_tax))) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
                    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT l_extendedprice),
-                   floor((20*sum(cast(round(l_extendedprice*100) AS BIGINT))
+                   CAST(floor((20*sum(cast(round(l_extendedprice*100)
+                                           AS BIGINT))
                           + count(l_extendedprice))
-                         / (2.0*count(l_extendedprice))) / 1000.0
+                         / (2.0*count(l_extendedprice))) AS BIGINT)
             FROM lineitem
         """,
         "drift_psi_event_type": """
@@ -1081,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,
+                   GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
                    count(*)::BIGINT AS n_orders,
                    sum(cast(round(o_totalprice * 100) AS BIGINT))
                      AS sum_price_cents
@@ -1380,9 +1526,9 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT vec_id, round(scale, 9) AS scale_r,
-                   list_transform(embedding,
-                                  x -> CAST(round(x / scale) AS INTEGER))
-                     AS qvec
+                   to_json(list_transform(embedding,
+                                  x -> CAST(round(x / scale) AS INTEGER)))
+                     ::VARCHAR AS qvec_json
             FROM s
         """,
         # two-step Lehmer hash sampling (one step would be monotonic for
@@ -1467,6 +1613,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY corp.doc_id, corp.doc_grams
         """,
         "semdedup_embeddings": semdedup_sql,
+        "ann_ivf_topk": ivf_sql,
+        "ann_lsh_topk": lsh_sql,
         "pack_sequences": """
             WITH h AS (
               SELECT doc_id, n_chars,

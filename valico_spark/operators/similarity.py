@@ -158,7 +158,8 @@ def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
              bits: int = 8, tables: int = 4, seed: int = 7,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int | None = None, probe_dist: int = 1) -> DataFrame:
+             dim: int | None = None, probe_dist: int = 1,
+             plane_sets: list[list[list[float]]] | None = None) -> DataFrame:
     """Approximate top-k: SRP-bucketed candidate join then exact rerank.
 
     Recall amplification, both standard LSH levers:
@@ -175,8 +176,16 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     rerank so each pair is scored once. ``dim`` should be passed
     explicitly; inferring it costs a driver action, taken on the (small)
     query side only.
+
+    Pass precomputed ``plane_sets`` (``tables`` lists of ``bits`` planes
+    each, e.g. rounded literals shared with an external oracle) to make
+    the bucketing engine-reproducible; ``bits``/``tables``/``seed``/
+    ``dim`` are then taken from its shape.
     """
-    if dim is None:
+    if plane_sets is not None:
+        tables = len(plane_sets)
+        bits = len(plane_sets[0])
+    elif dim is None:
         # driver action on the small query relation, never the corpus;
         # probe the first NON-NULL vector — a null first row must not
         # silently pick dim=1 planes (which would hash every vector to
@@ -187,8 +196,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
             dim = 1  # no scoreable queries: result is empty anyway
         else:
             dim = len(row[0])
-    plane_sets = [srp_planes(dim, bits, seed + 7919 * t)
-                  for t in range(tables)]
+    if plane_sets is None:
+        plane_sets = [srp_planes(dim, bits, seed + 7919 * t)
+                      for t in range(tables)]
 
     def buckets_expr(vec):
         return F.array(*[
