@@ -91,6 +91,36 @@ class TestDrift:
         assert same < 0.01
         assert diff > 0.2
 
+    def test_helpers_build_plans_without_driver_jobs(self, spark,
+                                                     media_df):
+        """chi_square / ks_binned_table must be pure plan builders: an
+        audit composition embedding them must not trigger hidden
+        .collect() jobs at construction time (totals/range are broadcast
+        1-row aggregates inside the plan)."""
+        from pyspark.sql import DataFrame
+
+        half_a = media_df.where(F.crc32(F.col("media_ref")) % 2 == 0)
+        half_b = media_df.where(F.crc32(F.col("media_ref")) % 2 == 1)
+
+        def boom(self, *a, **k):
+            raise AssertionError("driver collect during plan build")
+
+        orig_collect, orig_count = DataFrame.collect, DataFrame.count
+        DataFrame.collect = boom
+        DataFrame.count = boom
+        try:
+            chi = drift.chi_square(half_a, half_b, "media_type")
+            ks = drift.ks_binned_table(half_a, half_b, "size_bytes")
+        finally:
+            DataFrame.collect = orig_collect
+            DataFrame.count = orig_count
+        assert chi.collect()[0]["statistic"] is not None
+        assert ks.count() > 0
+
+    def test_ks_degenerate_single_value(self, spark):
+        one = spark.range(5).select(F.lit(3.0).alias("v"))
+        assert drift.ks_binned(one, one, "v") == 0.0
+
 
 class TestSpans:
     def test_ordering_flag(self, docs_df):

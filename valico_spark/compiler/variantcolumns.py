@@ -743,9 +743,14 @@ class VariantCompiler:
         res = _concat(parts)
         if self._marker_sites > m0:
             # per-element markers invert ok_elem — lift when any element
-            # plan hit a cut point
+            # plan hit a cut point. The marker-existence probe recompiles
+            # the sub-schema; snapshot the ref budget and marker counter
+            # so the recompile is not double-charged (it is the same
+            # schema walk, not new inlining work).
+            refs0, sites0 = self._refs_inlined, self._marker_sites
             elem_marker = F.exists(arr, lambda x: has_walker_marker(
                 self._node(sub, VTarget(x, F.lit("")), depth + 1)))
+            self._refs_inlined, self._marker_sites = refs0, sites0
             res = F.when(is_arr & elem_marker,
                          F.array(_marker_violation(t.path))).otherwise(res)
         return res

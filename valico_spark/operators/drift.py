@@ -29,18 +29,24 @@ def chi_square(observed: DataFrame, expected: DataFrame,
     Returns one row: (statistic, df, n_obs). Categories absent from
     ``expected`` contribute with a pseudo-expected of 0.5 (Haldane
     correction) to keep the statistic finite.
+
+    Fully plan-expressed: the totals that scale the expected counts come
+    from a broadcast 1-row aggregate (the same pattern as ``psi_table``)
+    — building the result runs NO driver-side job, so the helper
+    composes into larger audit plans.
     """
     obs = observed.groupBy(F.col(value_col).alias("cat")) \
                   .agg(F.count(F.lit(1)).alias("o"))
     exp = expected.groupBy(F.col(value_col).alias("cat")) \
                   .agg(F.count(F.lit(1)).alias("e_raw"))
-    totals_o = obs.agg(F.sum("o")).collect()[0][0] or 0
-    totals_e = exp.agg(F.sum("e_raw")).collect()[0][0] or 1
-    scale = totals_o / totals_e
     joined = obs.join(exp, "cat", "full_outer").fillna(0, ["o", "e_raw"])
+    totals = joined.agg(F.sum("o").alias("__to"),
+                        F.sum("e_raw").alias("__te"))
+    joined = joined.crossJoin(F.broadcast(totals))
+    scale = F.col("__to") / F.greatest(F.col("__te"), F.lit(1))
     joined = joined.withColumn(
         "e", F.when(F.col("e_raw") > 0,
-                    F.col("e_raw") * F.lit(scale)).otherwise(F.lit(0.5)))
+                    F.col("e_raw") * scale).otherwise(F.lit(0.5)))
     return joined.agg(
         F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
          .alias("statistic"),
@@ -50,45 +56,31 @@ def chi_square(observed: DataFrame, expected: DataFrame,
 
 def ks_binned(sample_a: DataFrame, sample_b: DataFrame, value_col: str,
               bins: int = 1024) -> float:
-    """Binned two-sample Kolmogorov–Smirnov statistic (see module doc)."""
-    a = sample_a.select(F.col(value_col).cast("double").alias("v")) \
-                .where(F.col("v").isNotNull())
-    b = sample_b.select(F.col(value_col).cast("double").alias("v")) \
-                .where(F.col("v").isNotNull())
-    pooled = a.unionByName(b)
-    lo, hi = pooled.agg(F.min("v"), F.max("v")).collect()[0]
-    if lo is None or hi is None or not math.isfinite(hi - lo):
-        return 0.0
-    width = (hi - lo) or 1.0
+    """Binned two-sample Kolmogorov–Smirnov statistic (see module doc).
 
-    def ecdf_counts(df, tag):
-        bin_id = F.least(
-            F.lit(bins - 1),
-            F.floor((F.col("v") - F.lit(lo)) / F.lit(width) * bins)
-        ).cast("int")
-        return df.groupBy(bin_id.alias("bin")) \
-                 .agg(F.count(F.lit(1)).alias(tag))
-
-    ca = ecdf_counts(a, "na")
-    cb = ecdf_counts(b, "nb")
-    merged = ca.join(cb, "bin", "full_outer").fillna(0)
-    # B rows — cumulative sums over the tiny binned table
-    w = (Window.partitionBy(F.lit(0)).orderBy("bin")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    totals = merged.agg(F.sum("na"), F.sum("nb")).collect()[0]
-    ta, tb = (totals[0] or 1), (totals[1] or 1)
-    result = merged.select(
-        F.abs(F.sum("na").over(w) / F.lit(float(ta))
-              - F.sum("nb").over(w) / F.lit(float(tb))).alias("d"))
-    return result.agg(F.max("d")).collect()[0][0] or 0.0
+    Thin scalar wrapper over ``ks_binned_table``: ONE job total — the
+    range and totals live inside the plan as broadcast 1-row aggregates;
+    the only driver transfer is the final one-double statistic."""
+    t = ks_binned_table(sample_a, sample_b, value_col, bins=bins,
+                        _round=None)
+    row = t.agg(F.max("cdf_diff")).collect()[0]
+    d = row[0]
+    return float(d) if d is not None and math.isfinite(d) else 0.0
 
 
 def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
-                    value_col: str, bins: int = 64) -> DataFrame:
+                    value_col: str, bins: int = 64,
+                    _round: int | None = 6) -> DataFrame:
     """DataFrame form of the binned two-sample KS: one row per occupied
     bin with counts and the running |ECDF_a - ECDF_b| — fully
     plan-expressed (range via a broadcast 1-row aggregate, no driver
-    collect), so it composes into larger audits."""
+    collect), so it composes into larger audits.
+
+    ``_round=None`` keeps cdf_diff at full double precision (the scalar
+    ``ks_binned`` wrapper); the default rounds for engine-portable
+    oracle comparison. A degenerate range (hi == lo, one distinct
+    value) falls back to width 1 so every row lands in bin 0 and the
+    statistic is 0, matching the scalar semantics."""
     a = sample_a.select(F.col(value_col).cast("double").alias("v")) \
                 .where(F.col("v").isNotNull())
     b = sample_b.select(F.col(value_col).cast("double").alias("v")) \
@@ -98,10 +90,11 @@ def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
 
     def counts(df, tag):
         with_b = df.crossJoin(F.broadcast(bounds))
+        width = F.col("hi") - F.col("lo")
+        width = F.when(width > 0, width).otherwise(F.lit(1.0))
         bin_id = F.least(
             F.lit(bins - 1),
-            F.floor((F.col("v") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo")) * bins)).cast("int")
+            F.floor((F.col("v") - F.col("lo")) / width * bins)).cast("int")
         return with_b.groupBy(bin_id.alias("bin")) \
                      .agg(F.count(F.lit(1)).alias(tag))
 
@@ -112,12 +105,16 @@ def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
     # the WindowExec "No Partition Defined" warning)
     w = (Window.partitionBy(F.lit(0)).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, 0))
-    ta = F.sum("na").over(Window.partitionBy(F.lit(0)))
-    tb = F.sum("nb").over(Window.partitionBy(F.lit(0)))
-    return merged.select(
-        "bin", "na", "nb",
-        F.round(F.abs(F.sum("na").over(w) / ta
-                      - F.sum("nb").over(w) / tb), 6).alias("cdf_diff"))
+    # greatest(total, 1): an empty side contributes a flat-zero ECDF
+    # (drift vs an empty reference reads as maximal, not NULL)
+    ta = F.greatest(F.sum("na").over(Window.partitionBy(F.lit(0))),
+                    F.lit(1))
+    tb = F.greatest(F.sum("nb").over(Window.partitionBy(F.lit(0))),
+                    F.lit(1))
+    diff = F.abs(F.sum("na").over(w) / ta - F.sum("nb").over(w) / tb)
+    if _round is not None:
+        diff = F.round(diff, _round)
+    return merged.select("bin", "na", "nb", diff.alias("cdf_diff"))
 
 
 def drift_report(current: DataFrame, reference: DataFrame,

@@ -141,13 +141,6 @@ def coerce_columns(df: DataFrame, specs: dict,
             arr = F.split(src, _re.escape(sep), -1)
             coerced = F.transform(arr, lambda x: cast_fn(x))
             replacements[col] = F.when(src.isNotNull(), coerced)
-            idx_fail = F.filter(
-                F.zip_with(arr, coerced,
-                           lambda raw, v: F.struct(raw.alias("raw"),
-                                                   v.alias("v"))),
-                lambda t: t["raw"].isNotNull() & t["v"].isNull()
-                if inner not in ("null", "string")
-                else F.lit(False))
             # element index via its position in the raw split array
             def elem_viols(a=arr, cast_fn=cast_fn, detail=detail, col=col,
                            inner=inner):

@@ -18,53 +18,93 @@ per iteration only a changed-row COUNT crosses to the driver.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None,
+                         strict: bool = True) -> DataFrame:
     """Components of the undirected pair graph: (id, component) with
     component = smallest id reachable. Only ids present in ``pairs``
-    are returned (singletons are trivially their own component)."""
-    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-                  .union(pairs.select(F.col(b_col).alias("u"),
-                                      F.col(a_col).alias("v")))
-                  .distinct()
-                  # materialize once: every iteration joins against edges,
-                  # and the upstream pair plan (LSH/Jaccard) is expensive —
-                  # without the cut it would re-execute per iteration
-                  .localCheckpoint(eager=True))
+    are returned (singletons are trivially their own component).
+
+    ``checkpoint_dir``: when given, per-iteration lineage cuts use a
+    reliable ``checkpoint()`` to that location instead of
+    ``localCheckpoint()`` — localCheckpoint blocks live on executors and
+    an executor loss mid-run kills the job, so a real cluster run should
+    always pass a (HDFS/object-store) directory. local mode and tests
+    default to the executor-local cut.
+
+    ``strict``: HashMin propagates one hop per iteration, so a component
+    with diameter > ``max_iter`` would exit the loop with WRONG (split)
+    labels. strict=True raises in that case; strict=False downgrades to
+    a warning for exploratory runs where approximate clusters are
+    acceptable. Near-dup graphs are shallow (a cluster is "everything
+    similar to one document"), so hitting the bound usually means the
+    pair threshold is too loose, not that max_iter is too small.
+    """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _cut(pairs.select(F.col(a_col).alias("u"),
+                              F.col(b_col).alias("v"))
+                      .union(pairs.select(F.col(b_col).alias("u"),
+                                          F.col(a_col).alias("v")))
+                      .distinct())
+    # materialized once (above): every iteration joins against edges,
+    # and the upstream pair plan (LSH/Jaccard) is expensive — without
+    # the cut it would re-execute per iteration
     labels = (edges.select(F.col("u").alias("id")).distinct()
                    .withColumn("comp", F.col("id")))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges["v"] == labels["id"])
                         .groupBy("u").agg(F.min("comp").alias("nbr_comp")))
         # carry the previous label through the projection so convergence
         # detection is a filter-count on the materialized result, not an
         # extra join per iteration
-        stepped = (labels.join(nbr_min, labels["id"] == nbr_min["u"],
-                               "left")
-                         .select(labels["id"],
-                                 F.least(
-                                     F.col("comp"),
-                                     F.coalesce("nbr_comp", F.col("comp"))
-                                 ).alias("comp"),
-                                 F.col("comp").alias("prev"))
-                         .localCheckpoint(eager=True))
+        stepped = _cut(labels.join(nbr_min, labels["id"] == nbr_min["u"],
+                                   "left")
+                             .select(labels["id"],
+                                     F.least(
+                                         F.col("comp"),
+                                         F.coalesce("nbr_comp",
+                                                    F.col("comp"))
+                                     ).alias("comp"),
+                                     F.col("comp").alias("prev")))
         changed = stepped.where(F.col("comp") != F.col("prev")).count()
         labels = stepped.drop("prev")
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"iterations ({changed} labels still changing): a "
+               f"component's diameter exceeds max_iter and its labels "
+               f"are split. Raise max_iter or tighten the pair "
+               f"threshold.")
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 
 def dedup_clusters(pairs: DataFrame, a_col: str = "a_id",
-                   b_col: str = "b_id") -> DataFrame:
+                   b_col: str = "b_id",
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """(doc_id, component, cluster_size) for every clustered document —
     the keep-one-per-cluster decision table (keep id == component)."""
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(pairs, a_col, b_col,
+                                checkpoint_dir=checkpoint_dir)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (comp.join(sizes, "comp")
                 .select(F.col("id").alias("doc_id"),

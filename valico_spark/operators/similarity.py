@@ -251,6 +251,9 @@ def _kmeans_centroids(sample: "np.ndarray", k: int, iters: int = 8,
     rng = np.random.default_rng(seed)
     x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
                             1e-12)
+    # fewer vectors than requested cells: every vector is its own
+    # centroid (k > len(x) would crack rng.choice with replace=False)
+    k = min(k, len(x))
     cent = x[rng.choice(len(x), size=k, replace=False)]
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)

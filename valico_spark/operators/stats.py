@@ -102,9 +102,9 @@ def profile_exact_numeric(df: DataFrame, columns: list[str],
     Determinism: the mean is order-independent — values are scaled to
     integers at ``value_scale`` fractional digits (exact when the data
     has at most that many decimals, e.g. money columns) and summed as
-    longs; ``mean_milli`` rounds half-up to 3 decimals in pure integer
-    arithmetic, so any engine computing the same formula gets the same
-    bits. Plain ``F.avg`` over doubles is partition-order-dependent at
+    longs; ``mean_milli`` rounds to 3 decimals (ties toward +inf, all
+    signs) in pure integer arithmetic, so any engine computing the same
+    formula gets the same bits. Plain ``F.avg`` over doubles is partition-order-dependent at
     the 3rd decimal for large sums.
 
     Output per column: (column, n_rows, null_count, null_rate,
@@ -131,10 +131,12 @@ def profile_exact_numeric(df: DataFrame, columns: list[str],
          .alias("distinct_count"),
         F.min("v").alias("min_v"), F.max("v").alias("max_v"),
         nn.alias("n_nonnull"), sum_scaled.alias("sum_scaled"))
-    # half-up round to 3 decimals, integer-exact: floor((20s+n)/(2n)) for
-    # centi-sums (valid for non-negative sums; the double division is
-    # exact-enough — |numerator/denominator - integer| >= 1/denominator
-    # >> ulp, so floor never flips)
+    # round to 3 decimals, integer-exact: floor((20s+n)/(2n)) for
+    # centi-sums == floor(milli_mean + 1/2), i.e. ties round toward +inf
+    # for ALL signs (-2.5 -> -2, not away-from-zero -3) — a deliberate,
+    # engine-portable definition; any oracle must use the same formula.
+    # The double division is exact-enough: |numerator/denominator -
+    # integer| >= 1/denominator >> ulp, so floor never flips.
     mean_milli = F.floor(
         (2 * F.col("sum_scaled") * (1000 // mult) + F.col("n_nonnull"))
         / (2.0 * F.col("n_nonnull"))).cast("long")
