@@ -650,6 +650,34 @@ def q_frame_sample_docs(spark, sf_dir):
                          F.hex(F.col("frame")).alias("frame_hex"))
 
 
+def q_audit_metrics_orders(spark, sf_dir):
+    """End-to-end audit pipeline with an exact oracle: AuditRun shards
+    orders into 8 buckets, validates each batch ONCE, commits per-bucket
+    manifest rows, and this query returns the lineage metrics
+    (docs / valid_docs / violations per bucket) for DuckDB comparison.
+
+    The bucket hash is the engine-portable two-step Lehmer LCG (the
+    stratified-sampling hash) instead of the default Spark xxhash64, so
+    DuckDB reproduces the sharding bit-for-bit. Writes go to a fresh
+    temp dir — the query is a full write-then-aggregate round trip, not
+    a plan-only projection."""
+    import tempfile
+
+    from valico_spark.plans.audit import AuditRun
+
+    M = 2147483647
+    h = ((F.col("o_orderkey") % M) * 48271) % M
+    bucket = (((h * 48271) % M) % 8).cast("int")
+    run = AuditRun(spark, tempfile.mkdtemp(prefix="audit_oracle_"),
+                   "oracle", n_buckets=8)
+    run.run(_t(spark, sf_dir, "orders"), "o_orderkey",
+            lambda d: validate_dataframe(d, _ORDERS_AUDIT, mode="columns"),
+            id_cols=["o_orderkey"], bucket_expr=bucket)
+    return (run.metrics_df()
+               .select(F.col("bucket").cast("long").alias("bucket"),
+                       "docs", "valid_docs", "violations"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -702,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_counts": q_domain_counts,
         "heavy_hitters_source": q_heavy_hitters_source,
         "dedup_keep_best": q_dedup_keep_best,
+        "audit_metrics_orders": q_audit_metrics_orders,
     }
 
 
@@ -1615,6 +1644,18 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": semdedup_sql,
         "ann_ivf_topk": ivf_sql,
         "ann_lsh_topk": lsh_sql,
+        # per-bucket audit lineage: the same Lehmer bucket hash as the
+        # Spark query and the same per-keyword checks as validate_orders
+        "audit_metrics_orders": f"""
+            SELECT ((((o_orderkey % 2147483647) * 48271) % 2147483647)
+                    * 48271) % 2147483647 % 8 AS bucket,
+                   count(*)::BIGINT AS docs,
+                   sum(CASE WHEN ({_ORDERS_CHECKS}) = 0
+                            THEN 1 ELSE 0 END)::BIGINT AS valid_docs,
+                   sum({_ORDERS_CHECKS})::BIGINT AS violations
+            FROM orders
+            GROUP BY 1
+        """,
         "pack_sequences": """
             WITH h AS (
               SELECT doc_id, n_chars,

@@ -110,17 +110,25 @@ class AuditRun:
     def run(self, docs: DataFrame, key_col: str,
             process: Callable[[DataFrame], DataFrame],
             id_cols: list[str] | None = None,
-            batch_size: int = 4) -> list[dict]:
+            batch_size: int = 4,
+            bucket_expr: "F.Column | None" = None) -> list[dict]:
         """Process every pending bucket; returns the metrics rows.
 
         ``process`` maps a docs-subset DataFrame to a validated frame with
         ``valid``/``violations`` columns (e.g. ``validate_dataframe``).
         The validation plan is evaluated exactly ONCE per batch (the
         parquet write); per-bucket metrics aggregate the written output.
+
+        ``bucket_expr``: custom bucket-assignment Column (must evaluate
+        to 0..n_buckets-1 over ``key_col``). Default is
+        ``pmod(xxhash64(key), n)``; pass an engine-portable hash (e.g. a
+        Lehmer LCG on integer keys) when an external system must
+        reproduce the bucketing exactly.
         """
         id_cols = id_cols or [key_col]
-        bucket_expr = F.pmod(F.xxhash64(F.col(key_col)),
-                             F.lit(self.n_buckets))
+        if bucket_expr is None:
+            bucket_expr = F.pmod(F.xxhash64(F.col(key_col)),
+                                 F.lit(self.n_buckets))
         all_metrics = []
         pending = self.pending_buckets()
         for i in range(0, len(pending), max(batch_size, 1)):
@@ -130,8 +138,7 @@ class AuditRun:
             validated = process(subset)
             out = validated.select(
                 *id_cols, "valid", "violations",
-                F.pmod(F.xxhash64(F.col(key_col)),
-                       F.lit(self.n_buckets)).alias("bucket"),
+                bucket_expr.alias("bucket"),
                 F.lit(self.run_id).alias("run_id"))
             # dynamic overwrite: only the buckets in this batch are
             # replaced — idempotent re-processing after a crash
@@ -156,16 +163,23 @@ class AuditRun:
             wall = round(time.time() - t0, 3)
             # metrics from the written output (tiny re-read, pruned to
             # this batch's partitions) — never a second plan evaluation
-            written = self._read_validated()
-            agg_rows = (written
-                        .where(F.col("bucket").isin(batch))
-                        .groupBy("bucket")
-                        .agg(F.count(F.lit(1)).alias("docs"),
-                             F.sum(F.when(F.col("valid"), 1).otherwise(0))
-                              .alias("valid_docs"),
-                             F.sum(F.size("violations"))
-                              .alias("violations"))
-                        .collect())
+            try:
+                written = self._read_validated()
+            except Exception:
+                # an all-empty batch writes no parquet part files on the
+                # directory layout, so schema inference fails — that IS
+                # the zero-docs case (empty source / empty partitions)
+                agg_rows = []
+            else:
+                agg_rows = (written
+                            .where(F.col("bucket").isin(batch))
+                            .groupBy("bucket")
+                            .agg(F.count(F.lit(1)).alias("docs"),
+                                 F.sum(F.when(F.col("valid"), 1)
+                                        .otherwise(0)).alias("valid_docs"),
+                                 F.sum(F.size("violations"))
+                                  .alias("violations"))
+                            .collect())
             by_bucket = {r["bucket"]: r for r in agg_rows}
             for bucket in batch:
                 r = by_bucket.get(bucket)

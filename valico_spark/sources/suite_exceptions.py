@@ -1,0 +1,109 @@
+"""The reference's official-suite exception lists, encoded as data.
+
+The reference runs the entire vendored JSON-Schema-Test-Suite through
+compile+validate and skips a curated set of cases it knowingly diverges
+on (``/root/reference/tests/schema/mod.rs:65-235`` for draft-7,
+``:334-519`` for 2019-09). These tuples are those lists verbatim —
+(file_name, description) pairs; ``CASE_EXCEPTIONS`` skip a single test
+case, ``GROUP_EXCEPTIONS`` skip a whole schema group.
+
+Our mechanical suite runner (tests/test_official_suite.py) applies the
+same skips to the reconstructed suite files in
+``valico_spark/sources/official_suite/`` so a green run means the same
+thing it means for the reference: parity with the official expectations
+everywhere the reference itself claims parity.
+"""
+
+from __future__ import annotations
+
+# mod.rs:65-186 — skipped individual cases, draft-7
+CASE_EXCEPTIONS_D7: set[tuple[str, str]] = {
+    ("minLength.json",
+     "one supplementary Unicode code point is not long enough"),
+    # remote schema download unimplemented (upstream TODO)
+    ("refRemote.json", "remote ref invalid"),
+    ("refRemote.json", "remote fragment invalid"),
+    ("refRemote.json", "ref within ref invalid"),
+    ("refRemote.json", "changed scope ref invalid"),
+    ("refRemote.json", "base URI change ref invalid"),
+    ("refRemote.json", "string is invalid"),
+    ("refRemote.json", "object is invalid"),
+    ("bignum.json", "a bignum is an integer"),
+    ("bignum.json", "a negative bignum is an integer"),
+    ("uri-reference.json", "an invalid URI Reference"),
+    ("uri-reference.json", "an invalid URI fragment"),
+    ("ecmascript-regex.json",
+     "ECMA 262 has no support for \\Z anchor from .NET"),
+    ("ecmascript-regex.json",
+     "latin-1 non-breaking-space does not match (unlike e.g. Python)"),
+    ("ecmascript-regex.json",
+     "latin-1 non-breaking-space matches (unlike e.g. Python)"),
+    ("ecmascript-regex.json", "zero-width whitespace matches"),
+    ("ecmascript-regex.json", "zero-width whitespace does not match"),
+    ("json-pointer.json",
+     "not a valid JSON-pointer (URI Fragment Identifier) #1"),
+    ("json-pointer.json",
+     "not a valid JSON-pointer (URI Fragment Identifier) #2"),
+    ("json-pointer.json",
+     "not a valid JSON-pointer (URI Fragment Identifier) #3"),
+    ("idn-hostname.json",
+     "contains illegal char U+302E Hangul single dot tone mark"),
+    ("uri-template.json", "an invalid uri-template"),
+    ("time.json", "a valid time string"),
+    ("ref.json", "remote ref invalid"),
+    ("iri-reference.json", "an invalid IRI Reference"),
+    ("iri-reference.json", "an invalid IRI fragment"),
+}
+
+# mod.rs:187-235 — skipped whole groups, draft-7
+GROUP_EXCEPTIONS_D7: set[tuple[str, str]] = {
+    ("ecmascript-regex.json",
+     "ECMA 262 regex escapes control codes with \\c and upper letter"),
+    ("ecmascript-regex.json",
+     "ECMA 262 regex escapes control codes with \\c and lower letter"),
+    ("ecmascript-regex.json", "ECMA 262 \\d matches ascii digits only"),
+    ("ecmascript-regex.json",
+     "ECMA 262 \\D matches everything but ascii digits"),
+    ("ecmascript-regex.json", "ECMA 262 \\w matches ascii letters only"),
+    ("ecmascript-regex.json",
+     "ECMA 262 \\W matches everything but ascii letters"),
+    ("relative-json-pointer.json",
+     "validation of Relative JSON Pointers (RJP)"),
+    ("definitions.json", "invalid definition"),
+    ("idn-hostname.json", "validation of internationalized host names"),
+    ("email.json", "validation of e-mail addresses"),
+    ("float-overflow.json",
+     "all integers are multiples of 0.5, if overflow is handled"),
+}
+
+# mod.rs:334-455 — skipped individual cases, 2019-09 (same list as
+# draft-7 in the reference)
+CASE_EXCEPTIONS_D2019: set[tuple[str, str]] = set(CASE_EXCEPTIONS_D7)
+
+# mod.rs:456-519 — skipped whole groups, 2019-09
+GROUP_EXCEPTIONS_D2019: set[tuple[str, str]] = (
+    (GROUP_EXCEPTIONS_D7 - {("definitions.json", "invalid definition")})
+    | {
+        ("defs.json", "invalid definition"),
+        ("id.json", "Invalid use of fragments in location-independent "
+                    "$id"),
+        ("duration.json", "validation of duration strings"),
+        ("uuid.json", "uuid format"),
+    })
+
+# Reconstruction-layer skips, OURS not the reference's (disclosed in
+# TESTDATA.md): groups whose official-suite behavior depends on
+# features the sandboxed reconstruction cannot express faithfully.
+# Kept separate from the mod.rs lists so the two provenances never mix.
+GROUP_EXCEPTIONS_LOCAL: set[tuple[str, str]] = set()
+
+
+def case_skips(version: str) -> set[tuple[str, str]]:
+    return (CASE_EXCEPTIONS_D7 if version == "draft7"
+            else CASE_EXCEPTIONS_D2019)
+
+
+def group_skips(version: str) -> set[tuple[str, str]]:
+    base = (GROUP_EXCEPTIONS_D7 if version == "draft7"
+            else GROUP_EXCEPTIONS_D2019)
+    return base | GROUP_EXCEPTIONS_LOCAL
