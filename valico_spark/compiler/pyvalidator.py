@@ -287,8 +287,10 @@ class MultipleOfV:
             valid = math.fmod(n, k) == 0.0 if k != 0 else math.isnan(math.fmod(n, k))
         else:
             try:
+                # Rust `inf % 1.0` / `nan % x` yield NaN; Python fmod
+                # raises ValueError on an infinite dividend instead.
                 remainder = math.fmod(n / k, 1.0)
-            except ZeroDivisionError:
+            except (ZeroDivisionError, ValueError):
                 remainder = math.nan
             less_eps = math.isnan(remainder) or remainder < EPSILON
             less_one = remainder < (1.0 - EPSILON)
