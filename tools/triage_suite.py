@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from valico_spark.compiler.pyvalidator import DRAFT7, DRAFT2019, Scope
 from valico_spark.sources import official_suite
+from valico_spark.sources.metaschema import DRAFT7_META
 
 VERSIONS = {"draft7": DRAFT7, "draft2019-09": DRAFT2019}
 
@@ -34,6 +35,9 @@ def main() -> int:
             total += 1
             scope = Scope(version=VERSIONS[ver])
             try:
+                # mod.rs compiles the draft-07 meta-schema into every
+                # scope (both suites) before the group schema
+                scope.compile(DRAFT7_META, ban_unknown=True)
                 sid = scope.compile(schema)
                 got = scope.validate(sid, data).is_valid()
             except Exception as exc:  # noqa: BLE001 — triage wants it all

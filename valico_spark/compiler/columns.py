@@ -42,7 +42,8 @@ from pyspark.sql import types as T
 
 from valico_spark.compiler.errors import SCHEMA_TITLES
 from valico_spark.compiler.pyvalidator import (
-    DRAFT2019, DRAFT7, EPSILON, PRIMITIVE_TYPES, is_number,
+    DRAFT2019, DRAFT7, EPSILON, FINAL_KEYS, NON_SCHEMA_KEYS, PRIMITIVE_TYPES,
+    PROPERTY_KEYS, is_number,
 )
 
 VIOLATION_DDL = ("array<struct<code:string,title:string,path:string,"
@@ -51,6 +52,42 @@ VIOLATION_DDL = ("array<struct<code:string,title:string,path:string,"
 
 class UnsupportedRule(Exception):
     """Raised when a schema construct needs the Arrow fallback path."""
+
+
+def inline_id_with_refs(schema: Any) -> bool:
+    """True when the document has BOTH a non-root schema-position ``$id``
+    and any ``$ref`` — the combination where pointer inlining diverges
+    from the reference's URL-based resolution (rebased refs resolve
+    relative to the inline $id's subtree; keyword sub-schemas below it
+    silently go missing).  Position-aware, mirroring compile_sub's
+    schema/non-schema walk (schema.rs:388-485): ``$id`` as a property
+    NAME is data, not an identifier."""
+    state = {"id": False, "ref": False}
+
+    def walk(node: Any, parent_key: str, is_schema: bool, is_root: bool):
+        if state["id"] and state["ref"]:
+            return
+        if isinstance(node, dict):
+            if is_schema:
+                if not is_root and isinstance(node.get("$id"), str):
+                    state["id"] = True
+                if isinstance(node.get("$ref"), str):
+                    state["ref"] = True
+            for key, value in node.items():
+                if not isinstance(value, (dict, list, bool)):
+                    continue
+                if parent_key not in PROPERTY_KEYS and key in FINAL_KEYS:
+                    continue
+                sub_is_schema = (parent_key in PROPERTY_KEYS
+                                 or key not in NON_SCHEMA_KEYS)
+                walk(value, key, sub_is_schema, False)
+        elif isinstance(node, list):
+            for value in node:
+                if isinstance(value, (dict, list)):
+                    walk(value, parent_key, True, False)
+
+    walk(schema, "#", True, True)
+    return state["id"] and state["ref"]
 
 
 def empty_violations() -> Column:
@@ -176,6 +213,14 @@ class ColumnCompiler:
     # -- entry ----------------------------------------------------------
     def compile(self, schema: Any, target: Target) -> Column:
         """Return the violations-array Column for ``schema`` at ``target``."""
+        if inline_id_with_refs(self.root_schema
+                               if self.root_schema is not None else schema):
+            # An inline (non-root) $id rebases ref resolution and, in
+            # the reference, silently kills keyword sub-schemas below it
+            # (the root-fragment-under-new-base missing quirk,
+            # keywords/properties.rs:27-35 + scope.rs:236-257).  Pointer
+            # inlining cannot reproduce that; the walker can.
+            raise UnsupportedRule("inline $id together with $ref")
         return self._node(schema, target, depth=0)
 
     # -- $ref (compile-time inlining; SURVEY.md §2.4) --------------------

@@ -1721,9 +1721,13 @@ def _compile_sub(def_: Any, ctx: WalkContext, settings: _Settings,
         ctx.scopes[sid] = list(ctx.fragment)
 
     if is_schema and isinstance(def_, dict):
-        sub_ctx = WalkContext(sid if sid is not None else ctx.url,
-                              ctx.fragment, ctx.scopes, settings.version)
-        schema.validators = _compile_keywords(def_, sub_ctx, settings)
+        # schema.rs:491-499 — the $id-bearing schema's OWN keywords
+        # compile against the ORIGINAL (parent) context url; only child
+        # walk contexts switch to the new $id.  This makes the keyword
+        # sub-schema URLs root-resolvable (tree#/definitions/node/...)
+        # — using the new $id here breaks e.g. the official suite's
+        # tree/node recursive-$id group.
+        schema.validators = _compile_keywords(def_, ctx, settings)
 
     return schema
 

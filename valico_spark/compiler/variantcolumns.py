@@ -42,8 +42,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from valico_spark.compiler.columns import (
-    ColumnCompiler, UnsupportedRule, empty_violations, make_violation,
-    _concat, _maybe, _states_json, unicode_pattern,
+    ColumnCompiler, UnsupportedRule, empty_violations, inline_id_with_refs,
+    make_violation, _concat, _maybe, _states_json, unicode_pattern,
 )
 from valico_spark.compiler.pyvalidator import (
     DRAFT2019, DRAFT7, EPSILON, PRIMITIVE_TYPES, is_number,
@@ -220,6 +220,12 @@ class VariantCompiler:
     _resolve_ref = ColumnCompiler._resolve_ref
 
     def compile(self, schema: Any, target: VTarget) -> Column:
+        if inline_id_with_refs(self.root_schema
+                               if self.root_schema is not None else schema):
+            # pointer inlining can't mirror the reference's $id-rebased
+            # URL resolution (incl. its missing-keyword quirk) — route
+            # every doc to the walker, which has the exact semantics
+            return self._cut(target, "inline $id together with $ref")
         return self._node(schema, target, depth=0)
 
     def _node(self, schema: Any, t: VTarget, depth: int) -> Column:
