@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 from valico_spark.compiler.errors import SCHEMA_TITLES
 from valico_spark.compiler.pyvalidator import (
     DRAFT2019, DRAFT7, EPSILON, FINAL_KEYS, NON_SCHEMA_KEYS, PRIMITIVE_TYPES,
-    PROPERTY_KEYS, is_number,
+    PROPERTY_KEYS, end_anchor_pattern, is_number,
 )
 
 VIOLATION_DDL = ("array<struct<code:string,title:string,path:string,"
@@ -117,6 +117,7 @@ def unicode_pattern(p: str) -> str:
     paths in the regex-heavy validate hot loop."""
     import re as _re
 
+    p = end_anchor_pattern(p, "\\z")  # Java \z = end of input, like Rust $
     if _re.search(r"\\[dwsbDWSB]", p):
         return "(?U)" + p
     return p

@@ -25,7 +25,7 @@ from typing import Any, Callable
 
 from valico_spark.compiler.errors import Violation, dsl_violation
 from valico_spark.compiler.pyvalidator import (
-    ValidationState, deep_eq_strict, Scope,
+    ValidationState, deep_eq_strict, end_anchor_pattern, Scope,
 )
 
 I64_MIN, I64_MAX = -(1 << 63), (1 << 63) - 1
@@ -251,7 +251,9 @@ class RejectedValues:
 
 class RegexValidator:
     def __init__(self, pattern: str):
-        self.regex = re.compile(pattern)
+        # the reference's DSL regex is the Rust regex crate (end-of-text
+        # $, regex.rs:9) — same trailing-newline delta as json_schema
+        self.regex = re.compile(end_anchor_pattern(pattern, "\\Z"))
 
     def validate(self, val, path) -> list[Violation]:
         if not isinstance(val, str):

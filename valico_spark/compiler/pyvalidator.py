@@ -1076,9 +1076,43 @@ class WalkContext:
         return ju.connect(self.fragment)
 
 
+def end_anchor_pattern(pattern: str, anchor: str) -> str:
+    """Rewrite unescaped, outside-char-class ``$`` to ``anchor``.
+
+    The reference's fancy_regex ``$`` matches ONLY at end of text
+    (non-multiline), while Python ``re`` and Java both also match just
+    before a final newline — the official suite's "ECMA 262 regex $
+    does not match trailing newline" case pins the difference.  Python
+    needs ``\\Z``, Java ``\\z``.  Patterns carrying an explicit ``(?m``
+    flag keep their line-anchored semantics untouched."""
+    if "(?m" in pattern or "$" not in pattern:
+        return pattern
+    out = []
+    esc = in_cls = False
+    for ch in pattern:
+        if esc:
+            out.append(ch)
+            esc = False
+        elif ch == "\\":
+            out.append(ch)
+            esc = True
+        elif in_cls:
+            out.append(ch)
+            if ch == "]":
+                in_cls = False
+        elif ch == "[":
+            out.append(ch)
+            in_cls = True
+        elif ch == "$":
+            out.append(anchor)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _compile_regex(pattern: str):
     try:
-        return re.compile(pattern)
+        return re.compile(end_anchor_pattern(pattern, "\\Z"))
     except re.error:
         return None
 

@@ -78,14 +78,14 @@ def _dsl_violation_col(code: str, path: str, detail: str) -> Column:
 
 def _i64_cast(c: Column) -> Column:
     # Rust str::parse::<i64>: optional sign + digits only
-    ok = c.rlike(r"^[+-]?[0-9]+$")
+    ok = c.rlike(r"^[+-]?[0-9]+\z")  # \z: Rust parse rejects trailing \n
     return F.when(ok, c.try_cast("long"))
 
 
 def _f64_cast(c: Column) -> Column:
     ok = c.rlike(
         r"(?i)^[+-]?(inf(inity)?|nan"
-        r"|([0-9]+\.?[0-9]*|\.[0-9]+)(e[+-]?[0-9]+)?)$")
+        r"|([0-9]+\.?[0-9]*|\.[0-9]+)(e[+-]?[0-9]+)?)\z")
     return F.when(ok, c.try_cast("double"))
 
 
@@ -95,7 +95,7 @@ def _bool_cast(c: Column) -> Column:
 
 COERCE_SPECS = {
     "i64": (_i64_cast, "Can't coerce string value to i64"),
-    "u64": (lambda c: F.when(c.rlike(r"^\+?[0-9]+$"), c.try_cast("long")),
+    "u64": (lambda c: F.when(c.rlike(r"^\+?[0-9]+\z"), c.try_cast("long")),
             "Can't coerce string value to u64"),
     "f64": (_f64_cast, "Can't coerce string value to f64"),
     "boolean": (_bool_cast,

@@ -95,7 +95,16 @@ GROUP_EXCEPTIONS_D2019: set[tuple[str, str]] = (
 # TESTDATA.md): groups whose official-suite behavior depends on
 # features the sandboxed reconstruction cannot express faithfully.
 # Kept separate from the mod.rs lists so the two provenances never mix.
-GROUP_EXCEPTIONS_LOCAL: set[tuple[str, str]] = set()
+GROUP_EXCEPTIONS_LOCAL: set[tuple[str, str]] = {
+    # The reference pins an old suite fork (json-schema org) whose
+    # refRemote descriptions its skip list matches ("changed scope ref
+    # invalid"); the modern descriptions below don't, yet the cases
+    # need remote downloads the reference does not implement.  Our
+    # reconstruction uses the modern group text, so we skip at group
+    # granularity here with the same rationale as mod.rs's case skips.
+    ("refRemote.json", "base URI change - change folder"),
+    ("refRemote.json", "base URI change - change folder in subschema"),
+}
 
 
 def case_skips(version: str) -> set[tuple[str, str]]:
