@@ -131,6 +131,55 @@ def check_hostname(s: str) -> str | None:
     return None
 
 
+# IDN variants: addr's List.parse_email_address / parse_domain_name
+# accept UTF-8 labels (RFC 6531 local parts, IDNA domains) with the
+# 63-byte limit applied to the PUNYCODE form of each label.
+_IDN_LABEL = re.compile(r"(?!-)(?:[^\W_]|-){1,63}(?<!-)", re.UNICODE)
+
+
+def _idn_label_len_ok(label: str) -> bool:
+    if label.isascii():
+        return len(label) <= 63
+    try:
+        return len("xn--" + label.lower().encode("punycode").decode()) <= 63
+    except UnicodeError:
+        return False
+
+
+def _idn_domain_ok(domain: str) -> bool:
+    if len(domain.encode("utf-8")) > 253:
+        return False
+    labels = domain.split(".")
+    if len(labels) < 2:
+        return False
+    if not all(_IDN_LABEL.fullmatch(l) and _idn_label_len_ok(l)
+               for l in labels):
+        return False
+    last = labels[-1]
+    return (not last.isascii()) or bool(re.fullmatch(r"[A-Za-z]{2,}", last))
+
+
+def check_idn_hostname(s: str) -> str | None:
+    if not _idn_domain_ok(s):
+        return "Malformed hostname"
+    return None
+
+
+def check_idn_email(s: str) -> str | None:
+    if s.count("@") != 1:
+        return "Malformed email address"
+    local, domain = s.split("@")
+    ascii_part = "".join(c for c in local if c.isascii())
+    if (not local or len(local.encode("utf-8")) > 64
+            or (ascii_part and not _EMAIL_LOCAL.fullmatch(ascii_part))):
+        return "Malformed email address"
+    if local.startswith(".") or local.endswith(".") or ".." in local:
+        return "Malformed email address"
+    if not _idn_domain_ok(domain):
+        return "Malformed email address"
+    return None
+
+
 def check_ipv4(s: str) -> str | None:
     # std::net::Ipv4Addr (formats.rs:115-136): rejects leading zeros, like
     # python ipaddress
@@ -180,7 +229,9 @@ def _parse_absolute_url(s: str) -> str | None:
             host_only = host.rsplit(":", 1)[0] if re.search(r":\d*$", host) else host
             if not host_only:
                 return "empty host"
-            if any(c in host_only for c in "#/?@[]"):
+            # a ':' left after port-stripping means a bare IPv6 / bad
+            # port — the url crate rejects both (host ends at ':')
+            if any(c in host_only for c in "#/?@[]:"):
                 return "invalid host"
     return None
 
@@ -302,9 +353,9 @@ FORMAT_CHECKERS = {
     "date-time": check_date_time,
     "time": check_time,
     "email": check_email,
-    "idn-email": check_email,
+    "idn-email": check_idn_email,
     "hostname": check_hostname,
-    "idn-hostname": check_hostname,
+    "idn-hostname": check_idn_hostname,
     "ipv4": check_ipv4,
     "ipv6": check_ipv6,
     "uri": check_uri,
