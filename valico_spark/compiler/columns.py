@@ -930,28 +930,52 @@ class ColumnCompiler:
         "hostname": "Malformed hostname",
     }
 
+    @classmethod
+    def format_ok_expr(cls, name: str, sv: Column) -> Column | None:
+        """Shared format predicate over a string Column (walker-exact);
+        ``None`` when the name is unknown (ignored, format.rs:172-175)
+        or can never fail (uri-template, formats.rs:380-396).
+        Raises UnsupportedRule for Arrow-fallback-only formats."""
+        if name in ("uri-template",):
+            return None
+        regex = cls._FORMAT_REGEX.get(name)
+        if regex is None:
+            if name in ("ipv6", "iri", "uri-reference", "iri-reference",
+                        "regex", "idn-email", "idn-hostname"):
+                raise UnsupportedRule(f"format {name!r} needs Arrow fallback")
+            return None
+        ok = sv.rlike(regex)
+        # date: reject impossible month/day values the regex admits
+        # (try_to_date: NULL instead of an ANSI parse exception)
+        if name == "date":
+            ok = ok & F.try_to_date(sv, "yyyy-MM-dd").isNotNull()
+        if name == "time":
+            ok = ok & (F.substring(sv, 1, 2).cast("int") <= 23) \
+                    & (F.substring(sv, 4, 2).cast("int") <= 59) \
+                    & (F.substring(sv, 7, 2).cast("int") <= 60)
+        if name == "date-time":
+            # mirror check_date_time: real calendar date, field ranges
+            # (leap-second 60 allowed), offset within +/-23:59
+            off_h = F.regexp_extract(sv, r"([+-]\d{2}):\d{2}$", 1)
+            off_m = F.regexp_extract(sv, r"[+-]\d{2}:(\d{2})$", 1)
+            ok = ok \
+                & F.try_to_date(F.substring(sv, 1, 10),
+                                "yyyy-MM-dd").isNotNull() \
+                & (F.substring(sv, 12, 2).cast("int") <= 23) \
+                & (F.substring(sv, 15, 2).cast("int") <= 59) \
+                & (F.substring(sv, 18, 2).cast("int") <= 60) \
+                & ((off_h == "") | (F.abs(off_h.cast("int")) <= 23)) \
+                & ((off_m == "") | (off_m.cast("int") <= 59))
+        return ok
+
     def _format(self, name: Any, t: Target) -> Column:
         if not isinstance(name, str):
             raise UnsupportedRule("format must be a string")
         if not isinstance(t.dtype, T.StringType) and t.dtype is not None:
             return empty_violations()
-        if name in ("uri-template",):  # always valid (formats.rs:380-396)
+        ok = self.format_ok_expr(name, t.col)
+        if ok is None:
             return empty_violations()
-        regex = self._FORMAT_REGEX.get(name)
-        if regex is None:
-            if name in ("ipv6", "iri", "uri-reference", "iri-reference",
-                        "regex", "idn-email", "idn-hostname"):
-                raise UnsupportedRule(f"format {name!r} needs Arrow fallback")
-            return empty_violations()  # unknown → ignored (format.rs:172-175)
-        ok = t.col.rlike(regex)
-        # date: reject impossible month/day values the regex admits
-        # (try_to_date: NULL instead of an ANSI parse exception)
-        if name == "date":
-            ok = ok & F.try_to_date(t.col, "yyyy-MM-dd").isNotNull()
-        if name == "time":
-            ok = ok & (F.substring(t.col, 1, 2).cast("int") <= 23) \
-                    & (F.substring(t.col, 4, 2).cast("int") <= 59) \
-                    & (F.substring(t.col, 7, 2).cast("int") <= 60)
         return _maybe(t.col.isNotNull() & ~ok, make_violation(
             "format", t.path, F.lit(self._FORMAT_DETAILS[name])))
 

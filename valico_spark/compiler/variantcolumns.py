@@ -473,22 +473,9 @@ class VariantCompiler:
     def _format(self, name: Any, t: VTarget) -> Column:
         if not isinstance(name, str):
             raise UnsupportedRule("format must be a string")
-        if name in ("uri-template",):
+        ok = ColumnCompiler.format_ok_expr(name, _str(t.col))
+        if ok is None:
             return empty_violations()
-        regex = ColumnCompiler._FORMAT_REGEX.get(name)
-        if regex is None:
-            if name in ("ipv6", "iri", "uri-reference", "iri-reference",
-                        "regex", "idn-email", "idn-hostname"):
-                raise UnsupportedRule(f"format {name!r} needs Arrow fallback")
-            return empty_violations()
-        sv = _str(t.col)
-        ok = sv.rlike(regex)
-        if name == "date":
-            ok = ok & F.try_to_date(sv, "yyyy-MM-dd").isNotNull()
-        if name == "time":
-            ok = ok & (F.substring(sv, 1, 2).cast("int") <= 23) \
-                    & (F.substring(sv, 4, 2).cast("int") <= 59) \
-                    & (F.substring(sv, 7, 2).cast("int") <= 60)
         bad = t.col.isNotNull() & _is_str(t.col) & ~ok
         return _maybe(bad, make_violation(
             "format", t.path,
