@@ -678,6 +678,32 @@ def q_audit_metrics_orders(spark, sf_dir):
                        "docs", "valid_docs", "violations"))
 
 
+def q_pixel_stats_docs(spark, sf_dir):
+    """Image-decode pipeline with an exact oracle: decode_image over the
+    documents' utf-8 payload bytes with the FORCED deterministic codec
+    (``codec="fake"`` — pixel j is payload byte j mod len, 8x8 gray),
+    then integer pixel statistics per doc. With Pillow installed the
+    same operator decodes real images (codec="auto"); the driver query
+    pins the fake codec so the result is engine-portable. All outputs
+    are BIGINT (sum of the un-normalized byte values), no float hashing."""
+    from valico_spark.operators.multimodal import decode_image
+
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    decoded = decode_image(payloads, id_col="doc_id", target_size=(8, 8),
+                           codec="fake")
+    byte_sum = F.aggregate(
+        "pixels", F.lit(0).cast("long"),
+        lambda acc, p: acc + F.round(p.cast("double") * 255).cast("long"))
+    return decoded.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.size("pixels").cast("long").alias("n_pix"),
+        byte_sum.alias("byte_sum"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -731,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_source": q_heavy_hitters_source,
         "dedup_keep_best": q_dedup_keep_best,
         "audit_metrics_orders": q_audit_metrics_orders,
+        "pixel_stats_docs": q_pixel_stats_docs,
     }
 
 
@@ -1496,6 +1523,36 @@ def oracle_sql() -> dict[str, str]:
                    substr(payload_hex, CAST(i * 128 + 1 AS BIGINT),
                           128) AS frame_hex
             FROM e
+        """,
+        # fake codec: pixel j = payload byte (j mod n); byte_sum =
+        # full_cycles * sum(bytes) + sum(first 64%n bytes) — bytes
+        # recovered from hex pairs (engine-portable, no BLOB indexing)
+        "pixel_stats_docs": """
+            WITH h AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n,
+                     (text IS NULL) AS t_null
+              FROM documents
+            ), b AS (
+              SELECT doc_id, n, t_null,
+                     list_transform(generate_series(1, n), i ->
+                       (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16
+                       + strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1)
+                       AS bl
+              FROM h
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN t_null THEN 0 ELSE 8 END AS BIGINT)
+                     AS width,
+                   CAST(CASE WHEN t_null THEN 0 ELSE 8 END AS BIGINT)
+                     AS height,
+                   CAST(CASE WHEN COALESCE(n, 0) > 0 THEN 64 ELSE 0 END
+                     AS BIGINT) AS n_pix,
+                   CAST(CASE WHEN COALESCE(n, 0) > 0 THEN
+                       (64 // n) * COALESCE(list_sum(bl), 0)
+                       + COALESCE(list_sum(bl[1:(64 % n)]), 0)
+                     ELSE 0 END AS BIGINT) AS byte_sum
+            FROM b
         """,
         # prefix length sz - ceil(0.8*sz) + 1 is computed in IEEE double
         # arithmetic by both engines (same product, same ceil); row_number

@@ -106,14 +106,23 @@ def byte_histogram_features(df: DataFrame, payload_col: str = "payload",
 
 def decode_image(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "media_ref",
-                 target_size: tuple[int, int] = (64, 64)) -> DataFrame:
-    """Decode + resize stage. REAL plumbing, STUBBED codec.
+                 target_size: tuple[int, int] = (64, 64),
+                 codec: str = "auto") -> DataFrame:
+    """Decode + resize stage (grayscale tensor per payload).
 
-    With Pillow available this decodes and resizes; in this sandbox it
-    produces a deterministic fake "decoded" tensor from the payload bytes
-    so downstream schema/partitioning logic is fully exercised.
+    ``codec="auto"`` uses Pillow when importable (real decode: open,
+    convert to L, resize to ``target_size``, normalize to [0,1]);
+    payloads Pillow cannot parse fall back to the deterministic fake
+    tensor (tiled payload bytes), tagged by the ``decoder`` column.
+    ``codec="fake"`` forces the deterministic fake on every row — the
+    mode driver queries use so the output is oracle-exact regardless of
+    what is installed.  The Spark-side plumbing (Arrow batches, offsets
+    math, schema, partitioning) is identical in both modes.
     """
-    out_schema = (f"{id_col} string, width int, height int, "
+    if codec not in ("auto", "fake"):
+        raise ValueError(f"unknown codec mode {codec!r}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, width int, height int, "
                   f"pixels array<float>, decoder string")
     tw, th = target_size
     npix = tw * th
@@ -122,17 +131,31 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
-        try:  # pragma: no cover - not present in this sandbox
-            from PIL import Image  # noqa: F401
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        if have_pil:  # pragma: no cover
-            raise NotImplementedError(
-                "real decode path requires PIL wiring; "
-                "enable when the codec libs are installed")
+        have_pil = False
+        if codec == "auto":
+            try:  # pragma: no cover - Pillow absent in this sandbox
+                from PIL import Image
+                have_pil = True
+            except ImportError:
+                have_pil = False
+
+        def pil_decode(buf):  # pragma: no cover - needs Pillow
+            import io
+            try:
+                with Image.open(io.BytesIO(buf)) as im:
+                    im = im.convert("L").resize((tw, th))
+                    return (np.asarray(im, dtype=np.float32)
+                            / np.float32(255.0)).ravel()
+            except Exception:  # undecodable -> deterministic fake
+                return None
+
         for batch in batches:
+            # parquet scans can hand over dictionary-encoded columns;
+            # Spark's Arrow reader rejects a dictionary column in the
+            # OUTPUT batch, so decode ids on the way in (type unchanged)
             ids = batch.column(0)
+            if pa.types.is_dictionary(ids.type):
+                ids = ids.dictionary_decode()
             col = batch.column(1)
             n = len(col)
             null_mask = np.asarray(col.is_null())
@@ -143,6 +166,37 @@ def decode_image(df: DataFrame, payload_col: str = "payload",
             lens = np.diff(offs)
             nonnull = ~null_mask
             has_pix = lens > 0  # null payloads were filled to b"" above
+            if have_pil:  # pragma: no cover - needs Pillow
+                # real codec: inherently per-image, but Arrow-batched
+                # around it; undecodable payloads keep the fake tensor
+                pix_rows, decoders = [], []
+                for i in range(n):
+                    if null_mask[i]:
+                        pix_rows.append([])
+                        decoders.append("null")
+                        continue
+                    buf = bytes(data[offs[i]:offs[i + 1]])
+                    decoded = pil_decode(buf) if buf else None
+                    if decoded is not None:
+                        pix_rows.append(decoded)
+                        decoders.append("pil")
+                    elif buf:
+                        tiled = np.frombuffer(buf, np.uint8)[
+                            np.arange(npix) % len(buf)]
+                        pix_rows.append(tiled.astype(np.float32)
+                                        / np.float32(255.0))
+                        decoders.append("fake-v1")
+                    else:
+                        pix_rows.append([])
+                        decoders.append("fake-v1")
+                yield pa.RecordBatch.from_arrays(
+                    [ids,
+                     pa.array(np.where(nonnull, tw, 0).astype(np.int32)),
+                     pa.array(np.where(nonnull, th, 0).astype(np.int32)),
+                     pa.array(pix_rows, pa.list_(pa.float32())),
+                     pa.array(decoders)],
+                    names=[id_col, "width", "height", "pixels", "decoder"])
+                continue
             # deterministic fake, whole batch in one fancy-index: row i's
             # pixel j is payload byte (j mod len_i) — the same tiling the
             # old per-row loop produced, with zero Python per row
