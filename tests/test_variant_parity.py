@@ -408,3 +408,43 @@ class TestUniqueItemsVariant:
         assert comp.used_marker
         rows = df.select(has_walker_marker(viol).alias("m")).collect()
         assert [r.m for r in rows] == [False, True]
+
+
+def test_unique_items_array_of_scalar_elements(spark):
+    """Round-3 walker-residual shrink: array-of-SCALARS elements compile
+    on the variant plan (length-prefix framed member keys, order
+    sensitive, serde Number variants distinct); objects and nested
+    composites still reroute."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from valico_spark.compiler.pyvalidator import DRAFT7, Scope
+    from valico_spark.compiler.variantcolumns import (
+        compile_json_ruleset, has_walker_marker,
+    )
+
+    compiled = [
+        ([[1, 2], [1, 2]], False), ([[1, 2], [2, 1]], True),
+        ([[1], [1.0]], True), ([["a,b"], ["a", "b"]], True),
+        ([["a", "b"], ["a", "b"]], False), ([[], []], False),
+        ([[None], [None]], False), ([[True], [1]], True),
+        ([1, 2, [1, 2], "x"], True),
+    ]
+    residual = [[{"a": 1}, {"a": 1}], [[[1]], [1]]]
+
+    viol, _ = compile_json_ruleset({"uniqueItems": True}, F.col("j"),
+                                   version=DRAFT7, residual_marker=True)
+    docs = [d for d, _ in compiled] + residual
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "j string")
+    rows = df.select("j", (F.size(viol) == 0).alias("ok"),
+                     has_walker_marker(viol).alias("marked")).collect()
+    sc = Scope(version=DRAFT7)
+    sid = sc.compile({"uniqueItems": True})
+    for r, d in zip(rows, docs):
+        exp = dict((json.dumps(x), v) for x, v in compiled).get(r["j"])
+        wv = sc.validate(sid, json.loads(r["j"])).is_valid()
+        if exp is not None:
+            assert not r["marked"] and r["ok"] == exp == wv, (d, r)
+        else:
+            assert r["marked"], (d, "expected walker residual")

@@ -441,14 +441,20 @@ class ColumnCompiler:
                     for k, c in bev.items():
                         mark(k, trig_present & c)
 
-        # `type`/`const` mark the node's own path, not children; nested
-        # unevaluatedProperties inside branches would need its own pass —
-        # out of scope for the static analysis
-        for kw in ("unevaluatedProperties", "unevaluatedItems"):
-            for sub in s.get("allOf", []) + s.get("anyOf", []) \
-                    + s.get("oneOf", []):
-                if isinstance(sub, dict) and kw in sub:
-                    raise UnsupportedRule(f"nested {kw} in combinator")
+        if "unevaluatedProperties" in s:
+            # a branch's own unevaluatedProperties ANNOTATES: its
+            # per-entry check adds each passing entry to `evaluated`
+            # (UnevaluatedV._check_one); allOf merges unconditionally
+            # (of.rs:44), anyOf/oneOf gating happens at the combinator
+            # marks above — so: evaluated(rest) OR entry-passes-uev
+            uev = s["unevaluatedProperties"]
+            if uev is True:
+                for key in fields:
+                    mark(key, present(key))
+            elif uev is not False:
+                for key in fields:
+                    sub_viol = self._node(uev, child(key), depth + 1)
+                    mark(key, present(key) & (F.size(sub_viol) == 0))
         return ev
 
     def _evaluated_items(self, s: dict, t: Target,
@@ -467,6 +473,22 @@ class ColumnCompiler:
 
         def gate(arr: Column, cond: Column) -> Column:
             return F.transform(arr, lambda x: cond & x)
+
+        if "unevaluatedItems" in s:
+            # annotation rule (see _evaluated_keys): per-item uev
+            # success marks the item evaluated for the parent
+            uev = s["unevaluatedItems"]
+            rest_s = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+            ev_rest = self._evaluated_items(rest_s, t, depth)
+            if uev is True:
+                return F.transform(t.col, lambda x: F.lit(True))
+            if uev is False:
+                return ev_rest
+            return merge(ev_rest, F.transform(
+                t.col,
+                lambda x: F.size(self._node(uev, Target(x, etype,
+                                                        F.lit("")),
+                                            depth + 1)) == 0))
 
         ev = false_arr
 
@@ -502,8 +524,6 @@ class ColumnCompiler:
                                                       else sub)
             if not isinstance(sub_n, dict):
                 raise UnsupportedRule("schema must be object/boolean")
-            if "unevaluatedItems" in sub_n or "unevaluatedProperties" in sub_n:
-                raise UnsupportedRule("nested unevaluated* in combinator")
             valid = F.size(self._node(sub_n, t, depth + 1)) == 0
             return self._evaluated_items(sub_n, t, depth + 1), valid
 

@@ -669,7 +669,7 @@ class VariantCompiler:
         arr = _arr(t.col)
         is_arr = t.col.isNotNull() & _is_arr(t.col)
 
-        def key(e: Column) -> Column:
+        def scalar_key(e: Column) -> Column:
             st = _vtype(e)
             return (F.when(F.is_variant_null(e), F.lit("z"))
                      .when(st == "BOOLEAN",
@@ -685,9 +685,30 @@ class VariantCompiler:
                                          (_num(e) + F.lit(0.0))
                                          .cast("string"))))
 
-        residual = F.exists(arr, lambda e: _is_obj(e) | _is_arr(e)
-                            | (_vtype(e).rlike(r"^DECIMAL\(\d+,0\)$")
-                               & (F.abs(_num(e)) > F.lit(9.2e18))))
+        def framed(k: Column) -> Column:
+            # length-prefix framing keeps member-key concatenation
+            # collision-free (["a,b"] vs ["a","b"])
+            return F.concat(F.length(k).cast("string"), F.lit("#"), k)
+
+        def key(e: Column) -> Column:
+            # arrays of SCALARS canonicalize order-sensitively (serde
+            # Vec ==); objects / nested composites stay walker residual
+            return F.when(
+                _is_arr(e),
+                F.concat(F.lit("a:"),
+                         F.concat_ws("", F.transform(
+                             _arr(e), lambda x: framed(scalar_key(x)))))
+            ).otherwise(scalar_key(e))
+
+        def dec_residual(e: Column) -> Column:
+            return (_vtype(e).rlike(r"^DECIMAL\(\d+,0\)$")
+                    & (F.abs(_num(e)) > F.lit(9.2e18)))
+
+        residual = F.exists(
+            arr, lambda e: _is_obj(e) | dec_residual(e)
+            | (_is_arr(e) & F.exists(_arr(e),
+                                     lambda x: _is_obj(x) | _is_arr(x)
+                                     | dec_residual(x))))
         keys = F.transform(arr, key)
         dup = F.size(F.array_distinct(keys)) < F.size(keys)
         marker = _maybe(is_arr & residual, _marker_violation(t.path))
@@ -754,22 +775,31 @@ class VariantCompiler:
     # runtime type guards: success-conditioned marking, combinator merge
     # rules, contains does NOT mark evaluated.
 
-    def _guard_nested_unevaluated(self, s: dict) -> None:
-        for kw in ("unevaluatedProperties", "unevaluatedItems"):
-            for sub in s.get("allOf", []) + s.get("anyOf", []) \
-                    + s.get("oneOf", []):
-                if isinstance(sub, dict) and kw in sub:
-                    raise UnsupportedRule(f"nested {kw} in combinator")
-
     def _entry_evaluated_v(self, s: Any, t: VTarget, depth: int,
                            key: Column, val: Column) -> Column:
         if not isinstance(s, dict):
             s = {} if s is True else {"not": {}}
-        self._guard_nested_unevaluated(s)
 
         def sub_ok(sub) -> Column:
             child = VTarget(val, F.lit(""))
             return F.size(self._node(sub, child, depth + 1)) == 0
+
+        if "unevaluatedProperties" in s:
+            # a sub-schema's own unevaluatedProperties ANNOTATES: its
+            # per-entry check adds each passing entry to `evaluated`
+            # (UnevaluatedV._check_one), merged unconditionally by
+            # allOf (of.rs:44 state.append) and validity-gated by the
+            # combinator handling below for anyOf/oneOf — so here:
+            # evaluated(rest) OR this-entry-passes-the-uev-schema
+            uev = s["unevaluatedProperties"]
+            rest = {k: v for k, v in s.items()
+                    if k != "unevaluatedProperties"}
+            base = self._entry_evaluated_v(rest, t, depth, key, val)
+            if uev is True:
+                return F.lit(True)
+            if uev is False:
+                return base
+            return base | sub_ok(uev)
 
         def branch_valid(sub) -> Column:
             return F.size(self._node(sub, t, depth + 1)) == 0
@@ -869,7 +899,6 @@ class VariantCompiler:
         """array<boolean> aligned with the (variant-cast) array."""
         if not isinstance(s, dict):
             s = {} if s is True else {"not": {}}
-        self._guard_nested_unevaluated(s)
         arr = _arr(t.col)
         false_arr = F.transform(arr, lambda x: F.lit(False))
 
@@ -882,6 +911,19 @@ class VariantCompiler:
         def elem_ok(sub, x: Column) -> Column:
             return F.size(self._node(sub, VTarget(x, F.lit("")),
                                      depth + 1)) == 0
+
+        if "unevaluatedItems" in s:
+            # same annotation rule as unevaluatedProperties: per-item
+            # uev success marks the item evaluated for the parent
+            uev = s["unevaluatedItems"]
+            rest = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+            ev_rest = self._evaluated_items_v(rest, t, depth)
+            if uev is True:
+                return F.transform(arr, lambda x: F.lit(True))
+            if uev is False:
+                return ev_rest
+            return merge(ev_rest,
+                         F.transform(arr, lambda x: elem_ok(uev, x)))
 
         ev = false_arr
         items = s.get("items")
