@@ -334,6 +334,7 @@ def main() -> None:
             validation["docs_per_sec_local32"] = round(n / r32["sec"], 1)
 
     # -- per-query timings on the driver-provided tables -----------------
+    t_queries_start = time.time()
     import __spark_entry__ as entrymod
     from valico_spark.session import get_spark
 
@@ -358,12 +359,19 @@ def main() -> None:
         qtimes[name] = min(first, round(time.time() - t0, 3))
 
     total = round(time.time() - t_start, 3)
+    queries_wall = round(time.time() - t_queries_start, 3)
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": qtimes,
         "queries_first_run": qfirst,
+        # breakdown: `value` is the full wall incl. the scaling
+        # PROTOCOL (fresh JVM pairs, probes, bounded episode waits —
+        # measurement instrumentation, not engine work); engine speed
+        # is `queries` / `queries_wall_sec` / validation.* timings
+        "queries_wall_sec": queries_wall,
+        "scaling_protocol_sec": round(total - queries_wall, 3),
         "sf": _sf_label(SF_DIR),
         "validation": validation,
     }))
