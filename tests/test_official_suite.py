@@ -82,7 +82,7 @@ def test_suite_spark_fixture_table(spark, version):
     assert not bad, bad[:20]
 
 
-@pytest.mark.parametrize("version", ["draft7"])
+@pytest.mark.parametrize("version", ["draft7", "draft2019-09"])
 def test_suite_variant_column_path(spark, version):
     """Every suite group the VARIANT compiler accepts must reproduce the
     official verdicts on the column plan; marker-rerouted rows follow
