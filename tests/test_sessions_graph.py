@@ -175,3 +175,37 @@ class TestSelectRepresentatives:
         # component 1: score tie between 2 and 3 -> min id 2 survives
         assert out == {1: False, 2: True, 3: False,
                        10: True, 11: False}
+
+
+class TestStarVsHashMin:
+    def test_random_graphs_equivalent(self, spark):
+        """large/small-star (default) and HashMin produce identical
+        (id, comp) tables on random graphs."""
+        import random
+
+        from valico_spark.operators.graph import connected_components
+
+        rnd = random.Random(7)
+        for trial in range(3):
+            n = 60
+            edges = [(rnd.randrange(n), rnd.randrange(n))
+                     for _ in range(70)]
+            pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+            star = {(r["id"], r["comp"]) for r in connected_components(
+                pairs, algorithm="star").collect()}
+            hm = {(r["id"], r["comp"]) for r in connected_components(
+                pairs, algorithm="hashmin", max_iter=80).collect()}
+            assert star == hm, (trial, star ^ hm)
+
+    def test_long_chain_logarithmic_rounds(self, spark):
+        """A 64-node chain (diameter 63) must converge within the star
+        bound ~log2(n) + slack — where HashMin would need 63 rounds."""
+        from valico_spark.operators.graph import connected_components
+
+        n = 63
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a_id long, b_id long")
+        comp = {r["id"]: r["comp"] for r in connected_components(
+            pairs, algorithm="star", max_iter=12).collect()}
+        assert set(comp.values()) == {0}
+        assert len(comp) == n + 1
