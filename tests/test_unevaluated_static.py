@@ -38,18 +38,26 @@ def prop_schema(rnd):
 
 def gen_branch(rnd):
     kind = rnd.random()
-    if kind < 0.6:
+    if kind < 0.55:
         ks = rnd.sample(FIELDS, rnd.randint(1, 3))
         out = {"properties": {k: prop_schema(rnd) for k in ks}}
         if rnd.random() < 0.4:
             out["required"] = rnd.sample(ks, 1)
+        # round 3: nested-in-combinator unevaluatedProperties compiles
+        # (annotation-propagation rule) — fuzz it
+        if rnd.random() < 0.25:
+            out["unevaluatedProperties"] = rnd.choice(
+                [True, False, {"type": "integer"}])
         return out
-    if kind < 0.75:
+    if kind < 0.7:
         return {"patternProperties": {"^s_": prop_schema(rnd)}}
-    if kind < 0.9:
+    if kind < 0.85:
         return {"properties": {rnd.choice(FIELDS): prop_schema(rnd)},
                 "additionalProperties": rnd.choice(
                     [True, prop_schema(rnd)])}
+    if kind < 0.93:
+        return {"unevaluatedProperties": rnd.choice(
+            [True, {"type": "integer"}, {"maximum": 1}])}
     return {"required": rnd.sample(FIELDS, 1)}
 
 

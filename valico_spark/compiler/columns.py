@@ -610,11 +610,18 @@ class ColumnCompiler:
         def branch_valid(sub) -> Column:
             return F.size(self._node(sub, t, depth + 1)) == 0
 
-        for kw in ("unevaluatedProperties", "unevaluatedItems"):
-            for sub in s.get("allOf", []) + s.get("anyOf", []) \
-                    + s.get("oneOf", []):
-                if isinstance(sub, dict) and kw in sub:
-                    raise UnsupportedRule(f"nested {kw} in combinator")
+        if "unevaluatedProperties" in s:
+            # annotation rule (see _evaluated_keys): per-entry uev
+            # success marks the entry evaluated for the parent
+            uev = s["unevaluatedProperties"]
+            rest = {k: v for k, v in s.items()
+                    if k != "unevaluatedProperties"}
+            base = self._entry_evaluated(rest, t, depth, key, val)
+            if uev is True:
+                return F.lit(True)
+            if uev is False:
+                return base
+            return base | sub_ok(uev)
 
         conds: list[Column] = []
         if "$ref" in s:
