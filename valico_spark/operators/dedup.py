@@ -157,9 +157,15 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
                    Window.partitionBy("id").orderBy("gram_df", "gram"))))
     k = (F.col("sz")
          - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1)
-    prefix = ranked.where(F.col("rn") <= k).select("id", "gram")
+    prefix = ranked.where(F.col("rn") <= k).select("id", "sz", "gram")
+    # length filter at candidate time: J >= t forces the sizes within a
+    # factor t of each other — pruning here keeps ineligible pairs out
+    # of the distinct AND the verify join (PPJoin's length filter)
     cand = (prefix.alias("pa").join(prefix.alias("pb"), "gram")
-                  .where(F.col("pa.id") < F.col("pb.id"))
+                  .where((F.col("pa.id") < F.col("pb.id"))
+                         & (F.least("pa.sz", "pb.sz")
+                            >= F.lit(threshold)
+                            * F.greatest("pa.sz", "pb.sz")))
                   .select(F.col("pa.id").alias("a_id"),
                           F.col("pb.id").alias("b_id"))
                   .distinct())
