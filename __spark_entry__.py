@@ -704,6 +704,29 @@ def q_pixel_stats_docs(spark, sf_dir):
         byte_sum.alias("byte_sum"))
 
 
+def q_paragraph_dedup_docs(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup with an exact oracle.
+    The synthetic documents are flat word streams, so the query first
+    derives deterministic paragraphs (10-word windows joined by a
+    newline separator), then keeps ONE copy of each distinct paragraph
+    corpus-wide (winner = lexicographically smallest (doc_id, idx)) and
+    reassembles. Output is (doc_id, n_paragraphs, n_kept,
+    md5(deduped_text)) — md5 is bit-identical across engines."""
+    from valico_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    idx = F.sequence(F.lit(0),
+                     F.ceil(F.size(words) / F.lit(10)).cast("int") - 1)
+    paras = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i * 10 + 1, 10)))
+    prepared = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text"))
+    out = paragraph_dedup(prepared, sep="\n")
+    return out.select("doc_id", "n_paragraphs", "n_kept",
+                      F.md5(F.col("text")).alias("text_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -758,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "audit_metrics_orders": q_audit_metrics_orders,
         "pixel_stats_docs": q_pixel_stats_docs,
+        "paragraph_dedup_docs": q_paragraph_dedup_docs,
     }
 
 
@@ -1523,6 +1547,47 @@ def oracle_sql() -> dict[str, str]:
                    substr(payload_hex, CAST(i * 128 + 1 AS BIGINT),
                           128) AS frame_hex
             FROM e
+        """,
+        # paragraph winner = lexicographically smallest (doc_id, idx):
+        # two-step min (doc then idx within that doc) == Spark's
+        # min(struct); md5 hex is identical across engines
+        "paragraph_dedup_docs": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i - 1 AS idx,
+                     array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS para
+              FROM w, unnest(generate_series(
+                       1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)
+            ), e2 AS (
+              SELECT * FROM e WHERE length(para) > 0
+            ), wd AS (
+              SELECT para, min(doc_id) AS w_doc FROM e2 GROUP BY para
+            ), wi AS (
+              SELECT e2.para, wd.w_doc, min(e2.idx) AS w_idx
+              FROM e2 JOIN wd ON e2.para = wd.para
+                            AND e2.doc_id = wd.w_doc
+              GROUP BY e2.para, wd.w_doc
+            ), flagged AS (
+              SELECT e2.doc_id, e2.idx, e2.para,
+                     (e2.doc_id = wi.w_doc AND e2.idx = wi.w_idx) AS keep
+              FROM e2 JOIN wi ON e2.para = wi.para
+            ), per_doc AS (
+              SELECT doc_id,
+                     count(*) AS n_paragraphs,
+                     count(*) FILTER (keep) AS n_kept,
+                     string_agg(para, chr(10) ORDER BY idx)
+                       FILTER (keep) AS new_text
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_paragraphs, 0) AS BIGINT)
+                     AS n_paragraphs,
+                   CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+                   md5(COALESCE(p.new_text, '')) AS text_md5
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p USING (doc_id)
         """,
         # fake codec: pixel j = payload byte (j mod n); byte_sum =
         # full_cycles * sum(bytes) + sum(first 64%n bytes) — bytes

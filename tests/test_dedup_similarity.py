@@ -260,3 +260,35 @@ class TestSemanticDedup:
         similarity.semantic_dedup(df, threshold=0.99, centroids=cents)
         after = tracker.getJobIdsForGroup(None)
         assert before == after
+
+
+class TestParagraphDedup:
+    def test_corpus_wide_winner_and_reassembly(self, spark):
+        from valico_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [("a", "one\n\ntwo\n\nthree"),
+             ("b", "two\n\nfour"),          # "two" loses to a's copy
+             ("c", "one\n\ntwo"),           # both lose -> empty husk
+             ("d", "")],                     # no paragraphs at all
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+        assert out["a"]["text"] == "one\n\ntwo\n\nthree"
+        assert (out["a"]["n_paragraphs"], out["a"]["n_kept"]) == (3, 3)
+        assert out["b"]["text"] == "four"
+        assert (out["b"]["n_paragraphs"], out["b"]["n_kept"]) == (2, 1)
+        assert out["c"]["text"] == ""
+        assert (out["c"]["n_paragraphs"], out["c"]["n_kept"]) == (2, 0)
+        assert out["d"]["text"] == ""
+        assert (out["d"]["n_paragraphs"], out["d"]["n_kept"]) == (0, 0)
+
+    def test_winner_is_smallest_position_within_doc(self, spark):
+        from valico_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [("a", "x\n\nx\n\ny")],
+            "doc_id string, text string")
+        r = paragraph_dedup(docs).collect()[0]
+        # intra-doc repeat collapses too (first occurrence survives)
+        assert r["text"] == "x\n\ny"
+        assert (r["n_paragraphs"], r["n_kept"]) == (3, 2)

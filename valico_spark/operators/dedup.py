@@ -391,3 +391,52 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     from valico_spark.operators.similarity import all_pairs_above
 
     return all_pairs_above(df, threshold, id_col, vec_col, block_col)
+
+
+# -- Paragraph-level dedup (CCNet-style) ------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (CCNet-style): split every document
+    on ``sep``, keep exactly ONE copy of each distinct non-empty
+    paragraph across the whole corpus — the occurrence with the
+    lexicographically smallest ``(doc_id, position)`` — and reassemble
+    each document from its surviving paragraphs in original order.
+
+    Returns ``(doc_id, text, n_paragraphs, n_kept)``; documents whose
+    every paragraph was seen earlier elsewhere come back with empty
+    text (the row is kept so downstream can decide to drop or keep the
+    husk). Deterministic on any engine/partitioning: the winner rule
+    has no ties.
+
+    Scale shape: posexplode -> groupBy(paragraph) [one shuffle on the
+    paragraph, the natural dedup key] -> co-partitioned join back ->
+    groupBy(doc) reassembly. Nothing quadratic, no driver data.
+    """
+    import re as _re
+
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.posexplode(F.split(F.col(text_col),
+                                               _re.escape(sep), -1))
+                           .alias("idx", "para"))
+                  .where(F.length("para") > 0))
+    winners = exploded.groupBy("para").agg(
+        F.min(F.struct("id", "idx")).alias("w"))
+    kept = (exploded.join(winners, "para")
+                    .withColumn("keep", (F.col("id") == F.col("w.id"))
+                                & (F.col("idx") == F.col("w.idx"))))
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("keep"), F.struct("idx", "para")))).alias("ps"))
+    text = F.array_join(F.transform("ps", lambda s: s["para"]), sep)
+    return (df.select(F.col(id_col).alias("id")).distinct()
+              .join(per_doc, "id", "left")
+              .select(F.col("id").alias(id_col),
+                      F.coalesce(text, F.lit("")).alias(text_col),
+                      F.coalesce("n_paragraphs", F.lit(0)).cast("long")
+                       .alias("n_paragraphs"),
+                      F.coalesce("n_kept", F.lit(0)).cast("long")
+                       .alias("n_kept")))
