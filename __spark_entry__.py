@@ -727,6 +727,27 @@ def q_paragraph_dedup_docs(spark, sf_dir):
                       F.md5(F.col("text")).alias("text_md5"))
 
 
+def q_boilerplate_filter_docs(spark, sf_dir):
+    """C4-style boilerplate removal with an exact oracle: derive the
+    same deterministic 10-word paragraphs as paragraph_dedup_docs, then
+    drop every paragraph whose corpus-wide document frequency exceeds 2
+    from ALL documents. Output (doc_id, n_paragraphs, n_dropped,
+    md5(filtered_text))."""
+    from valico_spark.operators.dedup import boilerplate_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    idx = F.sequence(F.lit(0),
+                     F.ceil(F.size(words) / F.lit(10)).cast("int") - 1)
+    paras = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i * 10 + 1, 10)))
+    prepared = docs.select(
+        "doc_id", F.array_join(paras, "\n").alias("text"))
+    out = boilerplate_filter(prepared, sep="\n", max_df=2)
+    return out.select("doc_id", "n_paragraphs", "n_dropped",
+                      F.md5(F.col("text")).alias("text_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -782,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_metrics_orders": q_audit_metrics_orders,
         "pixel_stats_docs": q_pixel_stats_docs,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
+        "boilerplate_filter_docs": q_boilerplate_filter_docs,
     }
 
 
@@ -1585,6 +1607,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.n_paragraphs, 0) AS BIGINT)
                      AS n_paragraphs,
                    CAST(COALESCE(p.n_kept, 0) AS BIGINT) AS n_kept,
+                   md5(COALESCE(p.new_text, '')) AS text_md5
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p USING (doc_id)
+        """,
+        # per-doc-distinct paragraph document frequency; a paragraph
+        # with df > 2 is removed from every document
+        "boilerplate_filter_docs": """
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents
+            ), e AS (
+              SELECT doc_id, i - 1 AS idx,
+                     array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS para
+              FROM w, unnest(generate_series(
+                       1, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)
+            ), e2 AS (
+              SELECT * FROM e WHERE length(para) > 0
+            ), freq AS (
+              SELECT para, count(DISTINCT doc_id) AS para_df
+              FROM e2 GROUP BY para
+            ), flagged AS (
+              SELECT e2.doc_id, e2.idx, e2.para,
+                     (freq.para_df <= 2) AS keep
+              FROM e2 JOIN freq ON e2.para = freq.para
+            ), per_doc AS (
+              SELECT doc_id,
+                     count(*) AS n_paragraphs,
+                     count(*) FILTER (NOT keep) AS n_dropped,
+                     string_agg(para, chr(10) ORDER BY idx)
+                       FILTER (keep) AS new_text
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_paragraphs, 0) AS BIGINT)
+                     AS n_paragraphs,
+                   CAST(COALESCE(p.n_dropped, 0) AS BIGINT) AS n_dropped,
                    md5(COALESCE(p.new_text, '')) AS text_md5
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN per_doc p USING (doc_id)

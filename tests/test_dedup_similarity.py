@@ -292,3 +292,20 @@ class TestParagraphDedup:
         # intra-doc repeat collapses too (first occurrence survives)
         assert r["text"] == "x\n\ny"
         assert (r["n_paragraphs"], r["n_kept"]) == (3, 2)
+
+    def test_boilerplate_filter(self, spark):
+        from valico_spark.operators.dedup import boilerplate_filter
+
+        docs = spark.createDataFrame(
+            [("a", "footer\n\nunique-a"),
+             ("b", "footer\n\nunique-b\n\nfooter"),  # in-doc repeat: df=1
+             ("c", "footer\n\nunique-c")],
+            "doc_id string, text string")
+        out = {r["doc_id"]: r for r in
+               boilerplate_filter(docs, max_df=2).collect()}
+        # "footer" appears in 3 DISTINCT docs > max_df=2 -> dropped
+        assert out["a"]["text"] == "unique-a"
+        assert (out["a"]["n_paragraphs"], out["a"]["n_dropped"]) == (2, 1)
+        assert out["b"]["text"] == "unique-b"
+        assert (out["b"]["n_paragraphs"], out["b"]["n_dropped"]) == (3, 2)
+        assert out["c"]["text"] == "unique-c"

@@ -440,3 +440,45 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                        .alias("n_paragraphs"),
                       F.coalesce("n_kept", F.lit(0)).cast("long")
                        .alias("n_kept")))
+
+
+def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", sep: str = "\n\n",
+                       max_df: int = 2) -> DataFrame:
+    """C4-style boilerplate removal: drop every paragraph/line whose
+    corpus-wide document frequency EXCEEDS ``max_df`` from ALL documents
+    (cookie banners, nav headers, license footers — text repeated across
+    many pages is boilerplate, not content). Unlike ``paragraph_dedup``
+    nothing survives of an over-frequent paragraph, and distinct counts
+    are per-document (a paragraph repeated inside one doc counts once).
+
+    Returns ``(doc_id, text, n_paragraphs, n_dropped)``. Same scale
+    shape as paragraph_dedup: one paragraph-keyed shuffle for the DF
+    count, co-partitioned join back, per-doc reassembly.
+    """
+    import re as _re
+
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.posexplode(F.split(F.col(text_col),
+                                               _re.escape(sep), -1))
+                           .alias("idx", "para"))
+                  .where(F.length("para") > 0))
+    freq = (exploded.select("id", "para").distinct()
+                    .groupBy("para")
+                    .agg(F.count(F.lit(1)).alias("para_df")))
+    flagged = (exploded.join(freq, "para")
+                       .withColumn("keep", F.col("para_df") <= max_df))
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("keep"), F.struct("idx", "para")))).alias("ps"))
+    text = F.array_join(F.transform("ps", lambda s: s["para"]), sep)
+    return (df.select(F.col(id_col).alias("id")).distinct()
+              .join(per_doc, "id", "left")
+              .select(F.col("id").alias(id_col),
+                      F.coalesce(text, F.lit("")).alias(text_col),
+                      F.coalesce("n_paragraphs", F.lit(0)).cast("long")
+                       .alias("n_paragraphs"),
+                      F.coalesce("n_dropped", F.lit(0)).cast("long")
+                       .alias("n_dropped")))
