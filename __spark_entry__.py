@@ -670,7 +670,11 @@ def q_audit_metrics_orders(spark, sf_dir):
     bucket = (((h * 48271) % M) % 8).cast("int")
     run = AuditRun(spark, tempfile.mkdtemp(prefix="audit_oracle_"),
                    "oracle", n_buckets=8)
-    run.run(_t(spark, sf_dir, "orders"), "o_orderkey",
+    # null keys would hash to a NULL bucket and silently fall out of
+    # every batch while the oracle's GROUP BY keeps them — align both
+    # sides explicitly (current fixtures have none; belt-and-braces)
+    run.run(_t(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey").isNotNull()), "o_orderkey",
             lambda d: validate_dataframe(d, _ORDERS_AUDIT, mode="columns"),
             id_cols=["o_orderkey"], bucket_expr=bucket)
     return (run.metrics_df()
@@ -704,6 +708,19 @@ def q_pixel_stats_docs(spark, sf_dir):
         byte_sum.alias("byte_sum"))
 
 
+def _derive_paragraphs(docs):
+    """Deterministic paragraphs for the flat synthetic word streams:
+    10-word windows joined by a newline. Shared by the paragraph-dedup
+    and boilerplate queries AND mirrored verbatim by both DuckDB
+    oracles — one definition so they cannot desynchronize."""
+    words = F.split(F.trim("text"), r"\s+")
+    idx = F.sequence(F.lit(0),
+                     F.ceil(F.size(words) / F.lit(10)).cast("int") - 1)
+    paras = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i * 10 + 1, 10)))
+    return docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+
+
 def q_paragraph_dedup_docs(spark, sf_dir):
     """CCNet-style corpus-wide paragraph dedup with an exact oracle.
     The synthetic documents are flat word streams, so the query first
@@ -714,14 +731,7 @@ def q_paragraph_dedup_docs(spark, sf_dir):
     md5(deduped_text)) — md5 is bit-identical across engines."""
     from valico_spark.operators.dedup import paragraph_dedup
 
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
-    idx = F.sequence(F.lit(0),
-                     F.ceil(F.size(words) / F.lit(10)).cast("int") - 1)
-    paras = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.slice(words, i * 10 + 1, 10)))
-    prepared = docs.select(
-        "doc_id", F.array_join(paras, "\n").alias("text"))
+    prepared = _derive_paragraphs(_t(spark, sf_dir, "documents"))
     out = paragraph_dedup(prepared, sep="\n")
     return out.select("doc_id", "n_paragraphs", "n_kept",
                       F.md5(F.col("text")).alias("text_md5"))
@@ -735,14 +745,7 @@ def q_boilerplate_filter_docs(spark, sf_dir):
     md5(filtered_text))."""
     from valico_spark.operators.dedup import boilerplate_filter
 
-    docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
-    idx = F.sequence(F.lit(0),
-                     F.ceil(F.size(words) / F.lit(10)).cast("int") - 1)
-    paras = F.transform(idx, lambda i: F.concat_ws(
-        " ", F.slice(words, i * 10 + 1, 10)))
-    prepared = docs.select(
-        "doc_id", F.array_join(paras, "\n").alias("text"))
+    prepared = _derive_paragraphs(_t(spark, sf_dir, "documents"))
     out = boilerplate_filter(prepared, sep="\n", max_df=2)
     return out.select("doc_id", "n_paragraphs", "n_dropped",
                       F.md5(F.col("text")).alias("text_md5"))
@@ -1834,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS valid_docs,
                    sum({_ORDERS_CHECKS})::BIGINT AS violations
             FROM orders
+            WHERE o_orderkey IS NOT NULL
             GROUP BY 1
         """,
         "pack_sequences": """

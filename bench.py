@@ -269,13 +269,19 @@ def main() -> None:
                     break
                 # probe-gated wait: when the hardware envelope itself is
                 # compressed, the next round is doomed regardless of
-                # code — sleep (bounded) until the mini-probe recovers
-                while wait_budget > 0 \
-                        and _host_probe(int(SCALE_BASE),
-                                        int(SCALE_BIG)) < probe_gate:
+                # code — sleep (bounded) until the mini-probe recovers.
+                # The admitting probe value IS the round's recorded
+                # envelope (re-probing would both double the cost and
+                # let the episode shift between gate and record)
+                gate_probe = _host_probe(int(SCALE_BASE), int(SCALE_BIG))
+                while wait_budget > 0 and gate_probe < probe_gate:
                     time.sleep(45)
                     wait_budget -= 45
-            probes.append(_host_probe(int(SCALE_BASE), int(SCALE_BIG)))
+                    gate_probe = _host_probe(int(SCALE_BASE),
+                                             int(SCALE_BIG))
+                probes.append(gate_probe)
+            else:
+                probes.append(_host_probe(int(SCALE_BASE), int(SCALE_BIG)))
             for lvl in (SCALE_BASE, SCALE_BIG):
                 runs[lvl].append(_scaling_run(f"local[{lvl}]", docs_path,
                                               media_path))

@@ -478,10 +478,10 @@ class ColumnCompiler:
             # annotation rule (see _evaluated_keys): per-item uev
             # success marks the item evaluated for the parent
             uev = s["unevaluatedItems"]
-            rest_s = {k: v for k, v in s.items() if k != "unevaluatedItems"}
-            ev_rest = self._evaluated_items(rest_s, t, depth)
             if uev is True:
                 return F.transform(t.col, lambda x: F.lit(True))
+            rest_s = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+            ev_rest = self._evaluated_items(rest_s, t, depth)
             if uev is False:
                 return ev_rest
             return merge(ev_rest, F.transform(
@@ -614,11 +614,11 @@ class ColumnCompiler:
             # annotation rule (see _evaluated_keys): per-entry uev
             # success marks the entry evaluated for the parent
             uev = s["unevaluatedProperties"]
+            if uev is True:
+                return F.lit(True)
             rest = {k: v for k, v in s.items()
                     if k != "unevaluatedProperties"}
             base = self._entry_evaluated(rest, t, depth, key, val)
-            if uev is True:
-                return F.lit(True)
             if uev is False:
                 return base
             return base | sub_ok(uev)

@@ -1083,9 +1083,12 @@ def end_anchor_pattern(pattern: str, anchor: str) -> str:
     (non-multiline), while Python ``re`` and Java both also match just
     before a final newline — the official suite's "ECMA 262 regex $
     does not match trailing newline" case pins the difference.  Python
-    needs ``\\Z``, Java ``\\z``.  Patterns carrying an explicit ``(?m``
-    flag keep their line-anchored semantics untouched."""
-    if "(?m" in pattern or "$" not in pattern:
+    needs ``\\Z``, Java ``\\z``.  Patterns ENABLING multiline anywhere
+    keep their line-anchored semantics: the guard matches a flag group
+    with ``m`` before any ``-`` (``(?m``, ``(?im``, ``(?smx:``…);
+    disabling groups (``(?-m``, ``(?i-sm``) still rewrite — with
+    multiline off, Rust ``$`` is end-of-text."""
+    if "$" not in pattern or re.search(r"\(\?[a-zA-Z]*m", pattern):
         return pattern
     out = []
     esc = in_cls = False

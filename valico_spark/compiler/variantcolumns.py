@@ -25,11 +25,13 @@ subset — fuzz-tested in ``tests/test_variant_parity.py``. Key mappings:
 * value keywords skip silently on wrong-type values (``nonstrict_process``,
   validators/mod.rs:24-33): every emitter is guarded by its type class.
 
-Unsupported constructs (remote ``$ref``, exotic formats,
-``uniqueItems`` over heterogeneous arrays, ``unevaluated*`` combined
-with recursion or nested inside combinators) raise ``UnsupportedRule``
-and route to the Arrow-batched walker; plain ``unevaluated*`` compiles
-statically (runtime per-entry/per-element evaluated predicates).
+Unsupported constructs (remote ``$ref``, exotic formats, inline ``$id``
+with ``$ref``, ``unevaluated*`` combined with recursion) raise
+``UnsupportedRule`` and route to the Arrow-batched walker;
+``unevaluated*`` — including nested inside combinators (round 3) — and
+``uniqueItems`` over scalar/array-of-scalar elements compile statically
+(runtime per-entry/per-element evaluated predicates; composite
+uniqueItems elements carry a runtime NEEDS_WALKER residual).
 """
 
 from __future__ import annotations
@@ -792,11 +794,11 @@ class VariantCompiler:
             # combinator handling below for anyOf/oneOf — so here:
             # evaluated(rest) OR this-entry-passes-the-uev-schema
             uev = s["unevaluatedProperties"]
+            if uev is True:
+                return F.lit(True)
             rest = {k: v for k, v in s.items()
                     if k != "unevaluatedProperties"}
             base = self._entry_evaluated_v(rest, t, depth, key, val)
-            if uev is True:
-                return F.lit(True)
             if uev is False:
                 return base
             return base | sub_ok(uev)
@@ -916,10 +918,10 @@ class VariantCompiler:
             # same annotation rule as unevaluatedProperties: per-item
             # uev success marks the item evaluated for the parent
             uev = s["unevaluatedItems"]
-            rest = {k: v for k, v in s.items() if k != "unevaluatedItems"}
-            ev_rest = self._evaluated_items_v(rest, t, depth)
             if uev is True:
                 return F.transform(arr, lambda x: F.lit(True))
+            rest = {k: v for k, v in s.items() if k != "unevaluatedItems"}
+            ev_rest = self._evaluated_items_v(rest, t, depth)
             if uev is False:
                 return ev_rest
             return merge(ev_rest,

@@ -91,10 +91,19 @@ def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
     def counts(df, tag):
         with_b = df.crossJoin(F.broadcast(bounds))
         width = F.col("hi") - F.col("lo")
-        width = F.when(width > 0, width).otherwise(F.lit(1.0))
-        bin_id = F.least(
+        # non-finite range (±inf in the data): (v-lo)/width is NaN and
+        # floor(NaN) casts to garbage — route every row to bin 0
+        # explicitly (statistic degenerates to 0.0, the historical
+        # scalar-helper behavior for non-finite input)
+        width = F.when((width > 0) & ~F.isnan(width)
+                       & (width != float("inf")), width).otherwise(
+            F.lit(float("nan")))
+        bin_id = F.when(
+            F.isnan(width) | F.isnan(F.col("v"))
+            | (F.abs(F.col("v")) == float("inf")), F.lit(0)
+        ).otherwise(F.least(
             F.lit(bins - 1),
-            F.floor((F.col("v") - F.col("lo")) / width * bins)).cast("int")
+            F.floor((F.col("v") - F.col("lo")) / width * bins))).cast("int")
         return with_b.groupBy(bin_id.alias("bin")) \
                      .agg(F.count(F.lit(1)).alias(tag))
 

@@ -61,6 +61,9 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     if algorithm not in ("star", "hashmin"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if max_iter < 1:
+        # zero rounds would silently return raw neighbor minima
+        raise ValueError("max_iter must be >= 1")
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -166,7 +169,7 @@ def _star_components(edges: DataFrame, max_iter: int, _cut,
             converged = True
             break
         prev_fp = fp
-    if not converged and max_iter > 0:
+    if not converged:
         msg = (f"star connected_components did not reach a fixpoint in "
                f"{max_iter} rounds — raise max_iter (needs ~log2(nodes) "
                f"rounds).")

@@ -183,6 +183,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
     ``dim`` are then taken from its shape.
     """
     if plane_sets is not None:
+        if not plane_sets or not plane_sets[0]:
+            raise ValueError("plane_sets must contain >=1 non-empty table")
+        if len({len(t) for t in plane_sets}) != 1:
+            raise ValueError(
+                "every plane_sets table must have the same number of "
+                "planes (probe masks are generated from table 0's width)")
         tables = len(plane_sets)
         bits = len(plane_sets[0])
     elif dim is None:

@@ -165,10 +165,21 @@ class AuditRun:
             # this batch's partitions) — never a second plan evaluation
             try:
                 written = self._read_validated()
-            except Exception:
+            except Exception as exc:
                 # an all-empty batch writes no parquet part files on the
                 # directory layout, so schema inference fails — that IS
-                # the zero-docs case (empty source / empty partitions)
+                # the zero-docs case (empty source / empty partitions).
+                # ONLY that case: any other read failure must surface,
+                # or transient errors would commit docs=0 lineage rows
+                # and permanently mark the buckets done
+                from pyspark.errors import AnalysisException
+                empty_layout = (
+                    isinstance(exc, AnalysisException)
+                    and ("UNABLE_TO_INFER_SCHEMA" in str(exc)
+                         or "PATH_NOT_FOUND" in str(exc)
+                         or "Unable to infer schema" in str(exc)))
+                if not empty_layout:
+                    raise
                 agg_rows = []
             else:
                 agg_rows = (written
