@@ -298,3 +298,26 @@ class TestEmptyInputs:
             except Exception as ex:  # noqa: BLE001 - collecting all
                 failures.append((name, type(ex).__name__, str(ex)[:120]))
         assert not failures, failures
+
+
+def test_bench_scaling_worker_smoke(tmp_path):
+    """The driver runs bench.py per round; a broken --scaling-worker
+    surfaces only at round end otherwise. Tiny corpus, one level."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from valico_spark.sources.tables import fixture_dir
+
+    fx = fixture_dir(n_docs=2000, seed=42)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+         "--scaling-worker", "local[2]",
+         f"{fx}/docs.parquet", f"{fx}/media_assets.parquet"],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["docs"] == 2000
+    assert out["sec"] > 0 and out["sec_planning"] >= 0
