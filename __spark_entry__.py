@@ -1124,7 +1124,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL
             SELECT 'l_discount', count(*),
-                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT l_discount),
                    CAST(floor((20*sum(cast(round(l_discount*100) AS BIGINT))
                           + count(l_discount)) / (2.0*count(l_discount)))
@@ -1132,14 +1132,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             UNION ALL
             SELECT 'l_tax', count(*),
-                   sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT l_tax),
                    CAST(floor((20*sum(cast(round(l_tax*100) AS BIGINT))
                           + count(l_tax)) / (2.0*count(l_tax))) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'l_extendedprice', count(*),
-                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
                    count(DISTINCT l_extendedprice),
                    CAST(floor((20*sum(cast(round(l_extendedprice*100)
                                            AS BIGINT))
@@ -1333,7 +1333,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority,
                    GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
                    count(*)::BIGINT AS n_orders,
-                   sum(cast(round(o_totalprice * 100) AS BIGINT))
+                   sum(cast(round(o_totalprice * 100) AS BIGINT))::BIGINT
                      AS sum_price_cents
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -1860,7 +1860,7 @@ def oracle_sql() -> dict[str, str]:
                    chunk_start
             FROM c
         """,
-        "corpus_report": """
+        "corpus_report": r"""
             SELECT lang, source,
                    count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS chars_total,
@@ -1891,7 +1891,7 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, CAST(st + 1 AS INT), 400) AS chunk
             FROM s
         """,
-        "domain_counts": """
+        "domain_counts": r"""
             WITH t AS (
               SELECT doc_id,
                      text || ' see https://site' ||
