@@ -353,13 +353,22 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_dedup_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # 5-gram shingles, 32 hashes, 4 bands x 8 rows (s-curve threshold
-    # ~0.84 — 8x4 banding passed ~40%% of ALL pairs at j=0.5, quadratic)
-    return dedup.minhash_dedup(docs, jaccard_threshold=0.7, bands=4)
+    # ~0.84 — 8x4 banding passed ~40%% of ALL pairs at j=0.5, quadratic).
+    # portable=True: md5-derived base hashes + fold band buckets so the
+    # DuckDB oracle reproduces signatures, buckets, candidates, and the
+    # verified jaccard exactly (r3's last rows-only cell); same plan
+    # shape/shuffles as the xxhash64 default.
+    return dedup.minhash_dedup(docs, jaccard_threshold=0.7, bands=4,
+                               portable=True)
 
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_candidates(docs).where(F.col("hamming") <= 16)
+    # portable=True (md5 bit votes) for the exact DuckDB oracle
+    return (dedup.simhash_candidates(docs, portable=True)
+                 .where(F.col("hamming") <= 16)
+                 .select("a_id", "b_id",
+                         F.col("hamming").cast("long").alias("hamming")))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1045,6 +1054,107 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
         """
 
+    # MinHash oracle: the SAME 32 permutation constants the Spark plan
+    # compiles (dedup._minhash_params, seed 17) as a literal VALUES
+    # table; base hash = md5-hex60 % 2^31 (portable_hash60), band bucket
+    # = list_reduce fold mod M31 — every stage of the portable plan
+    # (operators/dedup.py minhash_*) recomputed in pure DuckDB SQL, then
+    # LSH candidates verified with exact jaccard over distinct 5-gram
+    # sets (inter/union int division is bit-identical across engines —
+    # proven by the ngram-jaccard oracle)
+    _mh_params = ",\n                     ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(dedup._minhash_params(32, 17)))
+    minhash_sql = f"""
+            WITH params(i, a, b) AS (
+              VALUES {_mh_params}),
+            hs AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(substr(text, i, 5)), 1, 15))
+                        ::BIGINT % 2147483648
+                      FOR i IN range(1, greatest(length(text) - 4, 0) + 1)]
+                       AS hlist,
+                     list_distinct([substr(text, i, 5)
+                      FOR i IN range(1, greatest(length(text) - 4, 0) + 1)])
+                       AS grams
+              FROM documents),
+            h AS (SELECT doc_id, unnest(hlist) AS h FROM hs),
+            sig AS (
+              SELECT h.doc_id, p.i, min((p.a * h.h + p.b) % 2147483647) AS s
+              FROM h, params p GROUP BY h.doc_id, p.i),
+            bandlists AS (
+              SELECT doc_id, i // 8 AS band, list(s ORDER BY i) AS svals
+              FROM sig GROUP BY doc_id, i // 8),
+            buckets AS (
+              SELECT doc_id, band,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), svals),
+                                 (acc, x) -> (acc * 131 + x) % 2147483647)
+                       AS bucket
+              FROM bandlists),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+              FROM buckets l JOIN buckets r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id),
+            v AS (
+              SELECT c.a_id, c.b_id,
+                     len(list_intersect(ga.grams, gb.grams)) AS inter,
+                     len(ga.grams) AS sa, len(gb.grams) AS sb
+              FROM cand c JOIN hs ga ON ga.doc_id = c.a_id
+                          JOIN hs gb ON gb.doc_id = c.b_id)
+            SELECT a_id, b_id,
+                   inter / greatest(sa + sb - inter, 1) AS jaccard
+            FROM v WHERE inter / greatest(sa + sb - inter, 1) >= 0.7
+        """
+
+    # SimHash oracle: bit j of the portable 64-bit token hash is
+    # (hi >> (j-32)) & 1 / (lo >> j) & 1 over the two md5-hex32 halves
+    # (portable_token_hash64) — per-bit strict-majority vote, 16-bit band
+    # buckets, hamming = count of differing signature bits; mirrors
+    # operators/dedup.py simhash/simhash_candidates stage for stage
+    simhash_sql = r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x != '')) AS tok
+              FROM documents),
+            n AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+            tb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+              FROM t),
+            bitsj AS (SELECT unnest(range(0, 64)) AS j),
+            ones AS (
+              SELECT tb.doc_id, b.j,
+                     sum(CASE WHEN b.j < 32 THEN (tb.lo >> b.j) & 1
+                              ELSE (tb.hi >> (b.j - 32)) & 1 END)::BIGINT
+                       AS ones
+              FROM tb, bitsj b GROUP BY tb.doc_id, b.j),
+            sigbits AS (
+              SELECT o.doc_id, o.j,
+                     CASE WHEN 2 * o.ones > n.n THEN 1 ELSE 0 END AS bit
+              FROM ones o JOIN n ON n.doc_id = o.doc_id),
+            buckets AS (
+              SELECT doc_id, j // 16 AS band,
+                     sum(bit * (1 << (j % 16)))::BIGINT AS bucket
+              FROM sigbits GROUP BY doc_id, j // 16),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+              FROM buckets l JOIN buckets r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id),
+            ham AS (
+              SELECT c.a_id, c.b_id,
+                     sum(CASE WHEN sa.bit != sb.bit THEN 1 ELSE 0 END)
+                       ::BIGINT AS hamming
+              FROM cand c
+              JOIN sigbits sa ON sa.doc_id = c.a_id
+              JOIN sigbits sb ON sb.doc_id = c.b_id AND sb.j = sa.j
+              GROUP BY c.a_id, c.b_id)
+            SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 16
+        """
+
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     lang_scores = ",\n  ".join(
         _lang_score_sql(l, ws) for l, ws in sorted(LANG_MARKERS.items()))
@@ -1474,6 +1584,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup_minhash / dedup_simhash: builtin xxhash64 + 64-bit wrap
         # arithmetic is not portable to DuckDB → rows-only check
+        "dedup_minhash": minhash_sql,
+        "dedup_simhash": simhash_sql,
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,

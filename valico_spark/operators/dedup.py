@@ -33,6 +33,29 @@ from valico_spark.operators.util import ensure_min_partitions
 MERSENNE31 = (1 << 31) - 1
 
 
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 over the
+    UTF-8 bytes, as a long. DuckDB computes the identical value with
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, so operators built on it
+    (MinHash signatures, SimHash bit votes) can be verified value-for-value
+    by a pure-SQL oracle. Default pipelines keep ``xxhash64`` (faster,
+    64-bit); portable mode trades ~2x hash cost for cross-engine
+    reproducibility — same plan shape, same shuffle structure."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15),
+                  16, 10).cast("long")
+
+
+def portable_token_hash64(col: Column) -> Column:
+    """Engine-portable 64-bit pattern from md5: bits 32-63 = first 8 hex
+    chars, bits 0-31 = next 8. The oracle recovers bit j as
+    ``(hi >> (j-32)) & 1`` / ``(lo >> j) & 1`` without 64-bit wrapping."""
+    hi = F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8),
+                16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 9, 8),
+                16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str],
                 id_col: str = "doc_id") -> DataFrame:
     """(id, canonical_id, group_size): canonical = min id per identical
@@ -205,10 +228,19 @@ def _minhash_ab(num_hashes: int, seed: int) -> Column:
     return F.array(*consts)
 
 
-def minhash_base(text: Column, n: int = 5) -> Column:
+def minhash_base(text: Column, n: int = 5,
+                 portable: bool = False) -> Column:
     """Per-shingle base hashes (compute ONCE, then fold all permutations
-    over it — 32x fewer xxhash64 evaluations than per-permutation
-    transforms)."""
+    over it — 32x fewer hash evaluations than per-permutation
+    transforms). ``portable=True`` swaps xxhash64 for the md5-derived
+    :func:`portable_hash60` so a DuckDB oracle reproduces the signatures
+    exactly; the signature is a min over a multiset, so gram duplication
+    differences between the two paths cannot change it."""
+    if portable:
+        return F.transform(
+            char_shingles(text, n),
+            lambda g: F.pmod(portable_hash60(g),
+                             F.lit(1 << 31).cast("long")))
     return F.transform(hashed_shingles(text, n),
                        lambda h: F.pmod(h, F.lit(1 << 31).cast("long")))
 
@@ -237,30 +269,45 @@ def minhash_signature(text: Column, num_hashes: int = 32, n: int = 5,
                                        num_hashes, seed)
 
 
+def band_bucket_portable(sig_slice: Column) -> Column:
+    """Portable band bucket: fold ``acc*131 + s mod M31`` over the band's
+    signature rows (DuckDB: ``list_reduce(list_prepend(0, slice), ...)``).
+    Bucket space is 31-bit — ample for blocking; stays int64-exact."""
+    return F.aggregate(
+        sig_slice, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(131) + x, F.lit(MERSENNE31)))
+
+
 def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
                            bands: int = 8, n: int = 5, seed: int = 17,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           portable: bool = False) -> DataFrame:
     """Candidate duplicate pairs: docs sharing ≥1 MinHash band bucket.
 
     rows-per-band = num_hashes // bands; the (band, bucket-hash) groupBy
     is the only wide stage. Distinct pairs are emitted with a_id < b_id.
+    ``portable=True`` uses md5-derived base hashes and the fold bucket so
+    the whole candidate set is reproducible in DuckDB SQL.
     """
     rows = num_hashes // bands
     # two-step projection: base hashes materialize once, then the K-way
     # fold — avoids K re-evaluations of xxhash64 per shingle
     based = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
-        minhash_base(F.col(text_col), n).alias("__base"))
+        minhash_base(F.col(text_col), n, portable=portable).alias("__base"))
     sig = based.select(
         "id", minhash_signature_from_base(F.col("__base"), num_hashes,
                                           seed).alias("sig"))
+
+    def bucket_expr(i: int) -> Column:
+        sl = F.slice(F.col("sig"), i * rows + 1, rows)
+        return band_bucket_portable(sl) if portable else F.xxhash64(sl)
+
     banded = sig.select(
         "id",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.xxhash64(F.slice(F.col("sig"), i * rows + 1, rows))
-                      .alias("bucket"))
+            F.struct(F.lit(i).alias("band"), bucket_expr(i).alias("bucket"))
             for i in range(bands)])).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
@@ -277,7 +324,8 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
 def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                   num_hashes: int = 32, bands: int = 8, n: int = 5,
                   seed: int = 17, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  portable: bool = False) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard.
 
     Scale shape: the corpus-sized shingle table is never broadcast.
@@ -289,7 +337,7 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
     """
     cand = ensure_min_partitions(
         minhash_lsh_candidates(df, num_hashes, bands, n, seed,
-                               id_col, text_col))
+                               id_col, text_col, portable=portable))
     sh = ensure_min_partitions(df).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
@@ -315,7 +363,8 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
 _LANE_MASK = 0x0001000100010001  # one 16-bit counter per long lane
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64,
+            token_hash=None) -> Column:
     """Bitwise-majority SimHash over whitespace tokens (long column).
 
     Signature bit i is set when ones of bit i over xxhash64(token) form
@@ -336,7 +385,9 @@ def simhash(text: Column, bits: int = 64) -> Column:
     assert bits == 64, "packed lanes are specified for 64-bit signatures"
     lanes = bits // 4
     toks = F.slice(tokens(text), 1, 65535)
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash is None:
+        token_hash = F.xxhash64
+    hs = F.transform(toks, lambda t: token_hash(t))
     zero = F.array_repeat(F.lit(0).cast("long"), lanes)
     acc = F.aggregate(
         hs, zero,
@@ -358,11 +409,17 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 def simhash_candidates(df: DataFrame, band_bits: int = 16,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       portable: bool = False) -> DataFrame:
     """Near-dup candidates: equal SimHash bands (4×16-bit blocking — any
-    pair within hamming distance 3 shares ≥1 band)."""
+    pair within hamming distance 3 shares ≥1 band). ``portable=True``
+    votes with :func:`portable_token_hash64` (md5-derived) so a DuckDB
+    oracle recomputes every signature bit, band bucket, and hamming
+    distance exactly; the default stays xxhash64 for the hot path."""
+    th = portable_token_hash64 if portable else None
     sigd = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig"))
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), token_hash=th).alias("sig"))
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigd.select("id", "sig", F.explode(F.array(*[
