@@ -60,7 +60,8 @@ class TestMinhash:
                     documents, bands=4).collect()}
         exact = {(r.a_id, r.b_id)
                  for r in dedup.ngram_jaccard_pairs(
-                     documents, threshold=0.8, n=5).collect()}
+                     documents, threshold=0.8, n=5,
+                     allow_quadratic=True).collect()}
         assert verified == (exact & cand)
 
 

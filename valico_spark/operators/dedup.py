@@ -96,16 +96,48 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        allow_quadratic: bool = False,
+                        max_block_size: int | None = 100_000) -> DataFrame:
     """Exact Jaccard over char n-gram sets for all pairs (within blocks).
 
     |A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B| — set algebra in
     codegen over hashed shingles (see ``hashed_shingles``), no shuffle
     beyond the pair join.
+
+    Scale guards: unblocked input is REFUSED unless
+    ``allow_quadratic=True`` (the pair join is quadratic in the corpus),
+    and blocked input is plan-asserted to ``max_block_size`` docs per
+    block — a natural block key like (lang, length-bucket) is bounded at
+    test scale but grows linearly with the corpus, so at 100x the job
+    FAILS LOUDLY instead of silently going quadratic inside a hot block.
+    Exact-without-blocking at scale is :func:`jaccard_pairs_prefix`
+    (PPJoin); bounded-recall candidate blocking is MinHash banding.
+    The guard is a groupBy on the block key (map-side combined, output =
+    |blocks| rows) broadcast back — no corpus-sized shuffle, and the
+    ``assert_true`` filter cannot be pruned by Catalyst.
     """
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is quadratic in the "
+            "corpus; pass allow_quadratic=True only for sampled tiers, "
+            "or use jaccard_pairs_prefix (exact, PPJoin) at scale")
     sh = ensure_min_partitions(df).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"),
         *([F.col(block_col).alias("__blk")] if block_col else []))
+    if block_col is not None and max_block_size is not None:
+        sizes = sh.groupBy("__blk").agg(F.count(F.lit(1)).alias("__blk_n"))
+        sh = (sh.join(F.broadcast(sizes), "__blk")
+                .where(F.assert_true(
+                    F.col("__blk_n") <= F.lit(max_block_size),
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: block exceeds "
+                              f"max_block_size={max_block_size}: "),
+                        F.col("__blk").cast("string"), F.lit(" has "),
+                        F.col("__blk_n").cast("string"),
+                        F.lit(" docs — use jaccard_pairs_prefix or "
+                              "minhash banding at this scale"))).isNull())
+                .drop("__blk_n"))
     a = sh.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"),
                   *([F.col("__blk")] if block_col else []))
     b = sh.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"),
@@ -444,10 +476,12 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        block_col: str | None = None) -> DataFrame:
+                        block_col: str | None = None,
+                        allow_quadratic: bool = False) -> DataFrame:
     from valico_spark.operators.similarity import all_pairs_above
 
-    return all_pairs_above(df, threshold, id_col, vec_col, block_col)
+    return all_pairs_above(df, threshold, id_col, vec_col, block_col,
+                           allow_quadratic=allow_quadratic)
 
 
 # -- Paragraph-level dedup (CCNet-style) ------------------------------------

@@ -72,12 +72,15 @@ def all_pairs_above(df: DataFrame, threshold: float,
                     vec_col: str = "embedding",
                     block_col: str | None = None,
                     block_bits: int | None = None,
-                    dim: int | None = None, seed: int = 7) -> DataFrame:
+                    dim: int | None = None, seed: int = 7,
+                    allow_quadratic: bool = False) -> DataFrame:
     """All (a,b) pairs with cosine ≥ threshold, a.id < b.id.
 
     ``block_col`` restricts comparisons to equal blocking keys (e.g. an
     LSH bucket or label) — at scale this is what bounds the join; without
-    it the operator is quadratic and only suitable for sampled tiers.
+    it the operator is quadratic and only suitable for sampled tiers, so
+    unblocked input is REFUSED unless ``allow_quadratic=True`` is passed
+    explicitly (a future caller cannot trip the crossJoin by accident).
     Alternatively pass ``block_bits``+``dim`` to derive the blocking key
     from an SRP-LSH bucket of the vector itself (the 100 TB path when no
     natural blocking column exists): recall is bounded by bucket
@@ -86,6 +89,11 @@ def all_pairs_above(df: DataFrame, threshold: float,
     recall union several seeds.
     """
     df = ensure_min_partitions(df)
+    if block_col is None and block_bits is None and not allow_quadratic:
+        raise ValueError(
+            "all_pairs_above without block_col/block_bits is a crossJoin "
+            "(quadratic in the corpus); pass allow_quadratic=True only "
+            "for sampled tiers, or block_bits+dim for SRP-LSH blocking")
     if block_col is None and block_bits is not None:
         if dim is None:
             raise ValueError("block_bits requires dim")
