@@ -189,6 +189,53 @@ def q_validate_events_props(spark, sf_dir):
     return v.select("event_id", "valid")
 
 
+_EVENTS_STREAM_RULESET = {
+    "type": "object",
+    "required": ["event_id", "user_id", "event_type"],
+    "properties": {
+        "event_type": {"enum": ["click", "view", "purchase", "signup"]},
+        "value": {"type": "number", "maximum": 300},
+    },
+}
+
+
+def q_stream_validate_events(spark, sf_dir):
+    """Structured Streaming validation with an exact batch oracle: the
+    events parquet is consumed through readStream (file source), each
+    micro-batch validated by the SAME compiled column plan the batch
+    engine uses (streaming/validate_stream.with_validation), and
+    per-minute verdict counts maintained in a complete-mode memory sink.
+    Trigger availableNow drains the source, so the streaming result must
+    equal the batch GROUP BY — the batch-parity hard signal the pytest
+    lane could only assert internally."""
+    import os
+    import tempfile
+    import uuid
+
+    from valico_spark.streaming.validate_stream import with_validation
+
+    # the file streaming source requires a DIRECTORY; expose the driver
+    # parquet through a symlink dir rather than copying data
+    src_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               f"{src_dir}/events.parquet")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (spark.readStream.schema(static.schema)
+                   .parquet(src_dir))
+    validated = with_validation(stream, _EVENTS_STREAM_RULESET)
+    counts = (validated
+              .groupBy(F.window("ts", "1 minute").alias("w"), "valid")
+              .agg(F.count(F.lit(1)).alias("n")))
+    name = f"stream_validate_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.outputMode("complete").format("memory")
+               .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .select(F.col("w.start").alias("window_start"),
+                         F.col("w.end").alias("window_end"),
+                         "valid", "n"))
+
+
 def q_dsl_coerce_orders(spark, sf_dir):
     """DSL coercion stage (json_dsl coercers.rs semantics) compiled to
     JVM casts: f64 parse, i64 strict-digits parse (always fails on the
@@ -789,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
+        "stream_validate_events": q_stream_validate_events,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "validate_customer": q_validate_customer,
         "validate_part_conditional": q_validate_part_conditional,
@@ -1586,6 +1634,21 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic is not portable to DuckDB → rows-only check
         "dedup_minhash": minhash_sql,
         "dedup_simhash": simhash_sql,
+        # streaming query: availableNow drains the whole file source, so
+        # the windowed streaming aggregation must equal this batch GROUP
+        # BY (window start = epoch-aligned minute floor, end exclusive)
+        "stream_validate_events": """
+            SELECT date_trunc('minute', ts) AS window_start,
+                   date_trunc('minute', ts) + INTERVAL 1 MINUTE
+                     AS window_end,
+                   (event_id IS NOT NULL AND user_id IS NOT NULL
+                    AND event_type IS NOT NULL
+                    AND event_type IN ('click','view','purchase','signup')
+                    AND (value IS NULL OR value <= 300)) AS valid,
+                   count(*)::BIGINT AS n
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
