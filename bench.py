@@ -223,6 +223,104 @@ def _host_probe(base: int, big: int) -> float:
     return round((g_big / g_base) / (big / base), 3)
 
 
+def _scaling_protocol(scale_base: str, scale_big: str, docs_path: str,
+                      media_path: str, n_rounds: int, max_rounds: int,
+                      wait_budget: float, probe_gate: float) -> dict:
+    """One full interleaved scaling protocol for a (base, big) pair.
+
+    Interleaved pairs (base, big, base, big), best per level: the two
+    levels run in separate fresh JVMs minutes apart on a shared VM, so
+    drift (page cache, turbo, co-tenants) biases a single sequential
+    pair; interleaving and taking the per-level best compares
+    like-for-like machine states.
+    """
+    runs = {scale_base: [], scale_big: []}
+    probes: list[float] = []
+    ratio0 = int(scale_big) // int(scale_base)
+    for rnd in range(max_rounds):
+        if rnd >= n_rounds:
+            # adaptive extension: host noise arrives in multi-minute
+            # episodes (observed bimodal local[8] walls 6.2s vs 10.4s
+            # with steal_pct spikes); if no same-state round has hit
+            # the 0.8 target yet, spend extra rounds hoping to land one
+            # in a quiet episode — every round is recorded either way
+            best = max((b["sec"] / g["sec"]) / ratio0 for b, g in
+                       zip(runs[scale_base], runs[scale_big]))
+            if best >= 0.8:
+                break
+            # probe-gated wait: when the hardware envelope itself is
+            # compressed, the next round is doomed regardless of
+            # code — sleep (bounded) until the mini-probe recovers.
+            # The admitting probe value IS the round's recorded
+            # envelope (re-probing would both double the cost and
+            # let the episode shift between gate and record)
+            gate_probe = _host_probe(int(scale_base), int(scale_big))
+            while wait_budget > 0 and gate_probe < probe_gate:
+                time.sleep(45)
+                wait_budget -= 45
+                gate_probe = _host_probe(int(scale_base), int(scale_big))
+            probes.append(gate_probe)
+        else:
+            probes.append(_host_probe(int(scale_base), int(scale_big)))
+        for lvl in (scale_base, scale_big):
+            runs[lvl].append(_scaling_run(f"local[{lvl}]", docs_path,
+                                          media_path))
+    best_b = min(runs[scale_base], key=lambda r: r["sec"])
+    best_g = min(runs[scale_big], key=lambda r: r["sec"])
+    tb, pb, n = best_b["sec"], best_b["sec_planning"], best_b["docs"]
+    ts, ps, fs = best_g["sec"], best_g["sec_planning"], \
+        best_g["sec_checks"]
+    # efficiency judged on SAME-ROUND pairs: the two workers of one
+    # round run back-to-back (same machine state); cross-round bests
+    # can pair a quiet-box base with a noisy-box big run (this VM's
+    # local[8] wall swings 5.7-11.3s between identical runs — the
+    # per-round steal_pct evidences the co-tenant interference)
+    round_effs = []
+    for i, (b, g) in enumerate(zip(runs[scale_base], runs[scale_big])):
+        ratio_i = int(scale_big) // int(scale_base)
+        round_effs.append({
+            "raw": round((b["sec"] / g["sec"]) / ratio_i, 3),
+            "compute": round((max(b["sec"] - b["sec_planning"], 1e-6)
+                              / max(g["sec"] - g["sec_planning"], 1e-6))
+                             / ratio_i, 3),
+            f"sec_local{scale_base}": round(b["sec"], 3),
+            f"sec_local{scale_big}": round(g["sec"], 3),
+            "steal_pct": [b["steal_pct"], g["steal_pct"]],
+            # the hardware envelope measured right before this round
+            # (trivially-parallel numpy streaming, no Spark): an
+            # upper bound on what ANY scan-dominated stage can score
+            # on this box in this episode
+            "probe_membw_eff": probes[i] if i < len(probes) else None,
+        })
+    best_round = max(round_effs, key=lambda r: r["raw"])
+    ratio = int(scale_big) // int(scale_base)
+    rb, rs = n / tb, n / ts
+    return {
+        "docs": n,
+        "pair": f"{scale_base}->{scale_big}",
+        f"validate_sec_local{scale_base}": round(tb, 3),
+        f"validate_sec_local{scale_big}": round(ts, 3),
+        f"planning_sec_local{scale_base}": round(pb, 3),
+        f"planning_sec_local{scale_big}": round(ps, 3),
+        f"table_checks_sec_local{scale_big}": round(fs, 3),
+        f"docs_per_sec_local{scale_base}": round(rb, 1),
+        f"docs_per_sec_local{scale_big}": round(rs, 1),
+        "scaling_efficiency_raw": best_round["raw"],
+        "scaling_efficiency": best_round["compute"],
+        "scaling_rounds": round_effs,
+        "scaling_efficiency_cross_round_best":
+            round((rs / rb) / ratio, 3),
+        # best round's raw efficiency relative to the hardware
+        # envelope its own probe measured (1.0 = the Spark stage
+        # scales exactly as well as trivially-parallel numpy
+        # streaming does in the same machine state) — the
+        # driver-visible form of the perf_probe.py argument
+        "scaling_efficiency_vs_hw_envelope": (
+            round(best_round["raw"] / best_round["probe_membw_eff"], 3)
+            if best_round.get("probe_membw_eff") else None),
+    }
+
+
 def main() -> None:
     from valico_spark.sources.tables import fixture_dir
 
@@ -240,14 +338,6 @@ def main() -> None:
     # absolute throughput ceiling.
     validation = {}
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        # interleaved pairs (base, big, base, big), best per level: the
-        # two levels run in separate fresh JVMs minutes apart on a shared
-        # VM, so drift (page cache, turbo, co-tenants) biases a single
-        # sequential pair; interleaving and taking the per-level best
-        # compares like-for-like machine states
-        runs = {SCALE_BASE: [], SCALE_BIG: []}
-        probes: list[float] = []
-        ratio0 = int(SCALE_BIG) // int(SCALE_BASE)
         n_rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
         max_rounds = int(os.environ.get("BENCH_SCALE_MAX_ROUNDS", "6"))
         # bounded wall-clock budget for waiting out a detected noisy
@@ -255,95 +345,26 @@ def main() -> None:
         # retrying INSIDE one wastes the round)
         wait_budget = float(os.environ.get("BENCH_EPISODE_WAIT_SEC", "180"))
         probe_gate = float(os.environ.get("BENCH_PROBE_GATE", "0.88"))
-        for rnd in range(max_rounds):
-            if rnd >= n_rounds:
-                # adaptive extension: host noise arrives in multi-minute
-                # episodes (observed bimodal local[8] walls 6.2s vs 10.4s
-                # with steal_pct spikes); if no same-state round has hit
-                # the 0.8 target yet, spend up to 3 extra rounds hoping
-                # to land one in a quiet episode — every round is
-                # recorded either way
-                best = max((b["sec"] / g["sec"]) / ratio0 for b, g in
-                           zip(runs[SCALE_BASE], runs[SCALE_BIG]))
-                if best >= 0.8:
-                    break
-                # probe-gated wait: when the hardware envelope itself is
-                # compressed, the next round is doomed regardless of
-                # code — sleep (bounded) until the mini-probe recovers.
-                # The admitting probe value IS the round's recorded
-                # envelope (re-probing would both double the cost and
-                # let the episode shift between gate and record)
-                gate_probe = _host_probe(int(SCALE_BASE), int(SCALE_BIG))
-                while wait_budget > 0 and gate_probe < probe_gate:
-                    time.sleep(45)
-                    wait_budget -= 45
-                    gate_probe = _host_probe(int(SCALE_BASE),
-                                             int(SCALE_BIG))
-                probes.append(gate_probe)
-            else:
-                probes.append(_host_probe(int(SCALE_BASE), int(SCALE_BIG)))
-            for lvl in (SCALE_BASE, SCALE_BIG):
-                runs[lvl].append(_scaling_run(f"local[{lvl}]", docs_path,
-                                              media_path))
-        best_b = min(runs[SCALE_BASE], key=lambda r: r["sec"])
-        best_g = min(runs[SCALE_BIG], key=lambda r: r["sec"])
-        tb, pb, n = best_b["sec"], best_b["sec_planning"], best_b["docs"]
-        ts, ps, fs = best_g["sec"], best_g["sec_planning"], \
-            best_g["sec_checks"]
-        # efficiency judged on SAME-ROUND pairs: the two workers of one
-        # round run back-to-back (same machine state); cross-round bests
-        # can pair a quiet-box base with a noisy-box big run (this VM's
-        # local[8] wall swings 5.7-11.3s between identical runs — the
-        # per-round steal_pct evidences the co-tenant interference)
-        round_effs = []
-        for i, (b, g) in enumerate(zip(runs[SCALE_BASE], runs[SCALE_BIG])):
-            ratio_i = int(SCALE_BIG) // int(SCALE_BASE)
-            round_effs.append({
-                "raw": round((b["sec"] / g["sec"]) / ratio_i, 3),
-                "compute": round((max(b["sec"] - b["sec_planning"], 1e-6)
-                                  / max(g["sec"] - g["sec_planning"], 1e-6))
-                                 / ratio_i, 3),
-                f"sec_local{SCALE_BASE}": round(b["sec"], 3),
-                f"sec_local{SCALE_BIG}": round(g["sec"], 3),
-                "steal_pct": [b["steal_pct"], g["steal_pct"]],
-                # the hardware envelope measured right before this round
-                # (trivially-parallel numpy streaming, no Spark): an
-                # upper bound on what ANY scan-dominated stage can score
-                # on this box in this episode
-                "probe_membw_eff": probes[i] if i < len(probes) else None,
-            })
-        best_round = max(round_effs, key=lambda r: r["raw"])
-        ratio = int(SCALE_BIG) // int(SCALE_BASE)
-        rb, rs = n / tb, n / ts
-        # compute-only: wall minus the measured per-action planning
-        # overhead (constant across cluster sizes; amortizes at scale)
-        cb, cs = max(tb - pb, 1e-6), max(ts - ps, 1e-6)
-        rcb, rcs = n / cb, n / cs
-        validation = {
-            "docs": n,
-            f"validate_sec_local{SCALE_BASE}": round(tb, 3),
-            f"validate_sec_local{SCALE_BIG}": round(ts, 3),
-            f"planning_sec_local{SCALE_BASE}": round(pb, 3),
-            f"planning_sec_local{SCALE_BIG}": round(ps, 3),
-            f"table_checks_sec_local{SCALE_BIG}": round(fs, 3),
-            f"docs_per_sec_local{SCALE_BASE}": round(rb, 1),
-            f"docs_per_sec_local{SCALE_BIG}": round(rs, 1),
-            "scaling_efficiency_raw": best_round["raw"],
-            "scaling_efficiency": best_round["compute"],
-            "scaling_rounds": round_effs,
-            "scaling_efficiency_cross_round_best":
-                round((rs / rb) / ratio, 3),
-            # best round's raw efficiency relative to the hardware
-            # envelope its own probe measured (1.0 = the Spark stage
-            # scales exactly as well as trivially-parallel numpy
-            # streaming does in the same machine state) — the
-            # driver-visible form of the perf_probe.py argument
-            "scaling_efficiency_vs_hw_envelope": (
-                round(best_round["raw"] / best_round["probe_membw_eff"], 3)
-                if best_round.get("probe_membw_eff") else None),
-        }
+        validation = _scaling_protocol(SCALE_BASE, SCALE_BIG, docs_path,
+                                       media_path, n_rounds, max_rounds,
+                                       wait_budget, probe_gate)
+        # continuity pair: the rounds-1/2 protocol (default 2->8) is
+        # re-measured every round NEXT TO the headline 1->4 pair, with
+        # its own per-round probes, so the >=0.8 claim stays comparable
+        # across the protocol change (VERDICT r3 item 4) — the 2->8
+        # number is expected to ride the shared-memory-bandwidth
+        # envelope (probe ~0.82-0.86) rather than the flat region
+        sec_pair = os.environ.get("BENCH_SECONDARY_PAIR", "2,8")
+        if sec_pair and sec_pair != "0":
+            sb, sg = sec_pair.split(",")
+            validation["secondary_pair"] = _scaling_protocol(
+                sb, sg, docs_path, media_path,
+                int(os.environ.get("BENCH_SECONDARY_ROUNDS", "2")),
+                int(os.environ.get("BENCH_SECONDARY_ROUNDS", "2")),
+                0.0, probe_gate)
         if os.environ.get("BENCH_L32") == "1":
             r32 = _scaling_run("local[32]", docs_path, media_path)
+            n = validation["docs"]
             validation["validate_sec_local32"] = round(r32["sec"], 3)
             validation["docs_per_sec_local32"] = round(n / r32["sec"], 1)
 
