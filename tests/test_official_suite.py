@@ -133,5 +133,6 @@ def test_suite_variant_column_path(spark, version):
                 bad.append((fname, gdesc, r["j"], r["expected"], r["got"]))
     assert not bad, bad[:20]
     # column plans are the serving path: they must carry the clear
-    # majority of official groups
-    assert compiled >= 2 * fallback, (compiled, fallback)
+    # majority of official groups (r4 measured 13x on both drafts;
+    # remaining fallbacks are external/remote $refs and Arrow formats)
+    assert compiled >= 8 * fallback, (compiled, fallback)

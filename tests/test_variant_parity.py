@@ -393,21 +393,26 @@ class TestUniqueItemsVariant:
         ]
         _check(spark, docs, self.RS, force=False)
 
-    def test_scalar_rows_have_no_marker(self, spark):
-        """All-scalar arrays must NOT reroute: the plan's marker fires
-        only for composite / ambiguous-decimal elements."""
+    def test_marker_fires_only_beyond_depth_budget(self, spark):
+        """Scalar AND shallow-composite arrays must NOT reroute: the
+        plan's marker fires only for elements nested deeper than
+        ``_UNIQUE_DEPTH`` levels or ambiguous big decimals."""
         from valico_spark.compiler.variantcolumns import (
             compile_json_ruleset, has_walker_marker,
         )
 
         df = spark.createDataFrame(
             [('{"xs": [1, 2, 1.0, "a", true, null]}',),
-             ('{"xs": [{"o": 1}]}',)], "j string")
+             ('{"xs": [{"o": 1}]}',),              # flat object: compiled
+             ('{"xs": [{"o": [{"p": 1}]}]}',),     # depth 3: compiled
+             ('{"xs": [{"o": [{"p": [1]}]}]}',),   # depth 4: residual
+             ('{"xs": [9300000000000000000]}',)],  # >i64 decimal: residual
+            "j string")
         viol, comp = compile_json_ruleset(self.RS, F.col("j"),
                                           residual_marker=True)
         assert comp.used_marker
         rows = df.select(has_walker_marker(viol).alias("m")).collect()
-        assert [r.m for r in rows] == [False, True]
+        assert [r.m for r in rows] == [False, False, False, True, True]
 
 
 def test_unique_items_array_of_scalar_elements(spark):
@@ -430,8 +435,16 @@ def test_unique_items_array_of_scalar_elements(spark):
         ([["a", "b"], ["a", "b"]], False), ([[], []], False),
         ([[None], [None]], False), ([[True], [1]], True),
         ([1, 2, [1, 2], "x"], True),
+        # round-4 shrink: composites up to _UNIQUE_DEPTH levels compile
+        ([{"a": 1}, {"a": 1}], False), ([[[1]], [1]], True),
+        ([{"a": 1, "b": 2}, {"b": 2, "a": 1}], False),  # key order
+        ([{"a": 1}, {"a": 1.0}], True),                 # int != float
+        ([{"a": [{"b": 1}]}, {"a": [{"b": 1}]}], False),
+        ([{"a": [{"b": 1}]}, {"a": [{"b": 2}]}], True),
+        ([{}, {}], False), ([{}, []], True),
     ]
-    residual = [[{"a": 1}, {"a": 1}], [[[1]], [1]]]
+    residual = [[{"a": [{"b": [1]}]}, 1],      # depth 4 composite
+                [[[[[1]]]], [1]]]              # 5-deep array chain
 
     viol, _ = compile_json_ruleset({"uniqueItems": True}, F.col("j"),
                                    version=DRAFT7, residual_marker=True)

@@ -179,6 +179,10 @@ class VariantCompiler:
     """
 
     _MAX_REF_DEPTH = 24
+    # uniqueItems canonicalization depth for composite elements: element
+    # trees up to this many nesting levels compile to expression keys;
+    # anything deeper reroutes to the walker (expressions can't recurse)
+    _UNIQUE_DEPTH = 3
 
     def __init__(self, version: int = DRAFT7, root_schema: Any = None,
                  residual_marker: bool = False, unroll_depth: int = 16,
@@ -641,8 +645,9 @@ class VariantCompiler:
         return _concat(parts)
 
     def _unique_items(self, t: VTarget) -> Column:
-        """serde-strict uniqueItems over dynamic arrays (scalar
-        elements compiled; composites → walker residual).
+        """serde-strict uniqueItems over dynamic arrays (scalars AND
+        composites up to ``_UNIQUE_DEPTH`` nesting levels compiled;
+        deeper trees → walker residual).
 
         Per-element type-tagged keys mirror the walker's ``_hash_key``:
         integers and floats are DISTINCT serde Number variants (1 !=
@@ -655,8 +660,8 @@ class VariantCompiler:
         exactly as Rust f64 ==).
 
         Walker residual (NEEDS_WALKER marker, rerouted rows):
-        * object/array elements — nested canonicalization (key-order
-          sorting) doesn't fit an expression;
+        * element trees nested deeper than ``_UNIQUE_DEPTH`` levels —
+          expression canonicalization is depth-bounded;
         * scale-0 DECIMAL beyond int64 — the one ambiguous region
           where "9.3e18-as-float" and a >i64 integer literal collide
           in the same variant type.
@@ -692,26 +697,52 @@ class VariantCompiler:
             # collision-free (["a,b"] vs ["a","b"])
             return F.concat(F.length(k).cast("string"), F.lit("#"), k)
 
-        def key(e: Column) -> Column:
-            # arrays of SCALARS canonicalize order-sensitively (serde
-            # Vec ==); objects / nested composites stay walker residual
-            return F.when(
+        def obj_entries(e: Column) -> Column:
+            return F.map_entries(
+                F.try_variant_get(e, "$", "map<string,variant>"))
+
+        # composite canonicalization to a FIXED depth (expressions can't
+        # recurse): arrays order-sensitively (serde Vec ==), objects by
+        # entry strings sorted on the length-framed key (serde Map == is
+        # key-set + values, order-insensitive; parse_json dedupes keys
+        # like serde's last-wins). Equality only needs to agree with the
+        # walker's _hash_key SEMANTICS, not its byte format: int/float
+        # tags stay distinct, doubles compare via Spark's injective
+        # double->string round-trip. Elements nested deeper than
+        # _UNIQUE_DEPTH levels remain walker residual.
+        def key_level(e: Column, depth: int) -> Column:
+            if depth == 0:
+                return scalar_key(e)
+            return (F.when(
                 _is_arr(e),
-                F.concat(F.lit("a:"),
-                         F.concat_ws("", F.transform(
-                             _arr(e), lambda x: framed(scalar_key(x)))))
-            ).otherwise(scalar_key(e))
+                F.concat(F.lit("a:"), F.concat_ws("", F.transform(
+                    _arr(e), lambda x: framed(key_level(x, depth - 1))))))
+                .when(
+                    _is_obj(e),
+                    F.concat(F.lit("o:"), F.concat_ws("", F.array_sort(
+                        F.transform(obj_entries(e), lambda en: F.concat(
+                            framed(en["key"]),
+                            framed(key_level(en["value"], depth - 1))))))))
+                .otherwise(scalar_key(e)))
 
         def dec_residual(e: Column) -> Column:
             return (_vtype(e).rlike(r"^DECIMAL\(\d+,0\)$")
                     & (F.abs(_num(e)) > F.lit(9.2e18)))
 
+        def residual_level(e: Column, depth: int) -> Column:
+            if depth == 0:
+                return _is_obj(e) | _is_arr(e) | dec_residual(e)
+            deeper = (lambda x: residual_level(x, depth - 1))
+            return (dec_residual(e)
+                    | (_is_arr(e) & F.exists(_arr(e), deeper))
+                    | (_is_obj(e) & F.exists(
+                        F.transform(obj_entries(e), lambda en: en["value"]),
+                        deeper)))
+
         residual = F.exists(
-            arr, lambda e: _is_obj(e) | dec_residual(e)
-            | (_is_arr(e) & F.exists(_arr(e),
-                                     lambda x: _is_obj(x) | _is_arr(x)
-                                     | dec_residual(x))))
-        keys = F.transform(arr, key)
+            arr, lambda e: residual_level(e, self._UNIQUE_DEPTH))
+        keys = F.transform(arr,
+                           lambda e: key_level(e, self._UNIQUE_DEPTH))
         dup = F.size(F.array_distinct(keys)) < F.size(keys)
         marker = _maybe(is_arr & residual, _marker_violation(t.path))
         viol = _maybe(is_arr & ~residual & dup,
