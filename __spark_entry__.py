@@ -236,6 +236,25 @@ def q_stream_validate_events(spark, sf_dir):
                          "valid", "n"))
 
 
+def q_json_depth_profile(spark, sf_dir):
+    """JSON nesting-depth histogram (operators/infer.json_depth_histogram)
+    — the measurement behind the VARIANT compiler's recursive-$ref unroll
+    budget (``suggest_unroll_depth``). Each event's ``props`` document is
+    deterministically wrapped ``user_id % 4`` extra object+array levels
+    so the histogram exercises varying depths; the scan itself is pure
+    built-in expressions (string-literal strip + bracket fold), whole-
+    stage codegen, shuffle bounded by |distinct depths|."""
+    from valico_spark.operators.infer import json_depth_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 4).cast("int")
+    wrapped = F.concat(F.repeat(F.lit('{"w":['), k), F.col("props"),
+                       F.repeat(F.lit(']}'), k))
+    return (json_depth_histogram(ev.withColumn("j", wrapped), "j")
+            .select(F.col("depth").cast("int").alias("depth"),
+                    F.col("n_docs").cast("long").alias("n_docs")))
+
+
 def q_dsl_coerce_orders(spark, sf_dir):
     """DSL coercion stage (json_dsl coercers.rs semantics) compiled to
     JVM casts: f64 parse, i64 strict-digits parse (always fails on the
@@ -837,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash_candidates,
         "dedup_simhash": q_dedup_simhash,
         "stream_validate_events": q_stream_validate_events,
+        "json_depth_profile": q_json_depth_profile,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "validate_customer": q_validate_customer,
         "validate_part_conditional": q_validate_part_conditional,
@@ -1648,6 +1668,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        # same string-literal strip + bracket scan as json_max_depth;
+        # the running max is a window over the exploded bracket chars
+        "json_depth_profile": r"""
+            WITH wrapped AS (
+              SELECT event_id,
+                     repeat('{"w":[', CAST(user_id % 4 AS INT)) || props ||
+                     repeat(']}', CAST(user_id % 4 AS INT)) AS j
+              FROM events
+            ), b AS (
+              SELECT event_id,
+                     regexp_replace(regexp_replace(j,
+                       '"(?:[^"\\]|\\.)*"', '', 'g'),
+                       '[^{}\[\]]', '', 'g') AS br
+              FROM wrapped
+            ), ch AS (
+              SELECT event_id, u.i AS i,
+                     CASE WHEN substr(br, u.i, 1) IN ('{','[')
+                          THEN 1 ELSE -1 END AS s
+              FROM b, UNNEST(range(1, length(br) + 1)) AS u(i)
+            ), run AS (
+              SELECT event_id,
+                     SUM(s) OVER (PARTITION BY event_id ORDER BY i) AS cum
+              FROM ch
+            ), per_doc AS (
+              SELECT b.event_id,
+                     GREATEST(COALESCE(MAX(run.cum), 0), 0) AS depth
+              FROM b LEFT JOIN run ON b.event_id = run.event_id
+              GROUP BY b.event_id
+            )
+            SELECT CAST(depth AS INT) AS depth,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM per_doc GROUP BY depth ORDER BY depth
         """,
         "dedup_ngram_jaccard": """
             WITH sh AS (

@@ -350,6 +350,52 @@ class TestInferRuleset:
         assert after - before <= 4
 
 
+class TestJsonDepthProfile:
+    CASES = [
+        ("5", 0), ('"x"', 0), ("null", 0),
+        ("{}", 1), ("[]", 1),
+        ('{"a": 1}', 1), ('{"a": [1, 2]}', 2),
+        ('[[[]]]', 3), ('{"a": {"b": {"c": 1}}}', 3),
+        # braces inside string literals must not count, incl. escapes
+        ('{"a": "}["}', 1), ('{"a": "\\"}{"}', 1),
+        ('{"a": "\\\\", "b": [1]}', 2),
+        # mixed siblings: max, not sum
+        ('{"a": [1], "b": {"c": [2]}}', 3),
+    ]
+
+    def test_max_depth_cases(self, spark):
+        from valico_spark.operators.infer import json_max_depth
+
+        df = spark.createDataFrame(
+            [(j, d) for j, d in self.CASES], "j string, want int")
+        bad = (df.withColumn("got", json_max_depth("j"))
+                 .where(F.col("got") != F.col("want")).collect())
+        assert bad == [], bad
+
+    def test_histogram_and_suggest(self, spark):
+        from valico_spark.operators.infer import (
+            json_depth_histogram, suggest_unroll_depth)
+
+        docs = ['{"a":1}'] * 90 + ['{"a":[1]}'] * 9 + ['[[[[1]]]]'] * 1
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        hist = {r.depth: r.n_docs
+                for r in json_depth_histogram(df, "j").collect()}
+        assert hist == {1: 90, 2: 9, 4: 1}
+        # 0.99 coverage reached at depth 2; full coverage needs 4
+        assert suggest_unroll_depth(df, "j", coverage=0.99) == 2
+        assert suggest_unroll_depth(df, "j", coverage=1.0) == 4
+        # clamp to the compiler's hard cap
+        assert suggest_unroll_depth(df, "j", coverage=1.0, max_depth=3) == 3
+
+    def test_plan_is_pure_codegen(self, spark):
+        from valico_spark.operators.infer import json_max_depth
+
+        df = spark.createDataFrame([('{"a":1}',)], "j string")
+        plan = (df.select(json_max_depth("j").alias("d"))
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
 class TestUrlOps:
     def _df(self, spark):
         return spark.createDataFrame(
