@@ -124,3 +124,51 @@ class TestLinearRecursionUnroll:
         assert comp.used_marker
         rows = df.select(viol.alias("v")).collect()
         assert rows[0]["v"] == []
+
+
+class TestAutoUnrollBudget:
+    """``unroll_depth="auto"``: size the recursion budget from the
+    corpus's measured nesting-depth histogram (operators.infer)."""
+
+    def test_auto_matches_walker_on_deep_corpus(self, spark):
+        # depths beyond the fixed default (16): auto must profile and
+        # recompile so the verdicts still match the walker exactly
+        docs = [_chain(2), _chain(19), _chain(19, bad_at=18), _chain(22)]
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                                   "i long, j string")
+        got = {r["i"]: r["valid"] for r in
+               validate_json_column(df, "j", LINKED_LIST,
+                                    unroll_depth="auto").collect()}
+        scope = Scope(version=DRAFT7)
+        sid = scope.compile(LINKED_LIST)
+        for i, d in enumerate(docs):
+            assert got[i] == scope.validate(
+                sid, json.loads(d)).is_valid(), (i, got[i])
+
+    def test_auto_skips_profile_when_not_recursive(self, spark):
+        """A non-recursive ruleset must not pay the profiling scan: no
+        extra Spark job beyond the (lazy) plan build."""
+        df = spark.createDataFrame([('{"v": 1}',)], "j string")
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        validate_json_column(
+            df, "j", {"properties": {"v": {"type": "integer"}}},
+            unroll_depth="auto")  # plan only, no action
+        assert len(tracker.getJobIdsForGroup(None)) == before
+
+    def test_recursion_cut_flag_is_depth_specific(self, spark):
+        """recursion_cut reports only the depth cut, not other residual
+        markers (e.g. dynamic constructs), so auto never profiles when a
+        bigger budget couldn't help."""
+        comp = VariantCompiler(version=DRAFT7, root_schema=LINKED_LIST,
+                               residual_marker=True)
+        comp.compile(LINKED_LIST,
+                     VTarget(F.parse_json(F.col("j")), F.lit("")))
+        assert comp.recursion_cut
+        flat = {"type": "object",
+                "properties": {"v": {"type": "integer"}}}
+        comp2 = VariantCompiler(version=DRAFT7, root_schema=flat,
+                                residual_marker=True)
+        comp2.compile(flat,
+                      VTarget(F.parse_json(F.col("j")), F.lit("")))
+        assert not comp2.recursion_cut

@@ -195,6 +195,11 @@ class VariantCompiler:
         self._refs_inlined = 0
         self._marker_sites = 0
         self.used_marker = False
+        #: True when some cut was specifically the unroll-depth limit —
+        #: the one residual a caller can shrink by recompiling with a
+        #: larger (measured) ``unroll_depth``; other cut reasons
+        #: (ref_budget fan-out, inline-$id) don't respond to depth.
+        self.recursion_cut = False
 
     def _cut(self, t: VTarget, why: str) -> Column:
         """Recursion/budget cutoff: marker when allowed, else refuse."""
@@ -236,6 +241,7 @@ class VariantCompiler:
 
     def _node(self, schema: Any, t: VTarget, depth: int) -> Column:
         if depth > self.unroll_depth:
+            self.recursion_cut = True
             return self._cut(t, "recursive $ref beyond inlining depth")
         if schema is True:
             schema = {}
@@ -1104,6 +1110,7 @@ class VariantCompiler:
 def compile_json_ruleset(schema: Any, json_col: Column,
                          version: int = DRAFT7,
                          residual_marker: bool = False,
+                         unroll_depth: int = 16,
                          ) -> tuple[Column, "VariantCompiler"]:
     """Compile ``schema`` against a column of raw JSON document strings.
 
@@ -1119,5 +1126,6 @@ def compile_json_ruleset(schema: Any, json_col: Column,
                    F.parse_json(F.lit("null")))
     target = VTarget(col=v, path=F.lit(""))
     compiler = VariantCompiler(version=version, root_schema=schema,
-                               residual_marker=residual_marker)
+                               residual_marker=residual_marker,
+                               unroll_depth=unroll_depth)
     return compiler.compile(schema, target), compiler
