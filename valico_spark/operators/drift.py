@@ -109,9 +109,11 @@ def ks_binned_table(sample_a: DataFrame, sample_b: DataFrame,
 
     merged = counts(a, "na").join(counts(b, "nb"), "bin", "full_outer") \
         .fillna(0, ["na", "nb"])
-    # windows run over the <=B-row binned table: a constant partition
-    # key makes the single-partition execution explicit (and silences
-    # the WindowExec "No Partition Defined" warning)
+    # windows run over the <=B-row binned table, so single-partition
+    # execution is intended and bounded (B rows, not corpus rows).
+    # Catalyst constant-folds the lit(0) partition key away, so the
+    # WindowExec "No Partition Defined" WARN still fires — it is
+    # harmless here by construction.
     w = (Window.partitionBy(F.lit(0)).orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, 0))
     # greatest(total, 1): an empty side contributes a flat-zero ECDF

@@ -157,6 +157,12 @@ def heavy_hitters(df: DataFrame, column: str, k: int = 10,
     ``exact=True``: groupBy count + window top-k — one shuffle keyed on
     the value (map-side combined, shuffle size = cardinality) plus a
     tiny ranked reduction; ties broken by value. The CI / oracle mode.
+    The global (unpartitioned) rank is NOT a scale hazard: Spark's
+    InferWindowGroupLimit rewrites the ``rank <= k`` filter into a
+    distributed TakeOrderedAndProject(limit=k) BELOW the window, so the
+    single-partition WindowExec only ever sees <= k rows (verified in
+    the executed plan; the "No Partition Defined" WARN it logs is
+    therefore harmless).
 
     ``exact=False``: the high-cardinality mode — candidates come from a
     DETERMINISTIC hash-keyed ROW sample (keyed on ``id_col``, required:
