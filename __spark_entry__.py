@@ -826,6 +826,194 @@ def q_boilerplate_filter_docs(spark, sf_dir):
                       F.md5(F.col("text")).alias("text_md5"))
 
 
+def q_skew_salted_join_events(spark, sf_dir):
+    """Skew-resilient salted equi-join (operators/skew.salted_join):
+    events (large side, hot user_ids) x customer dim on user_id with the
+    dim replicated across 16 salt values, so one hot key's rows spread
+    over 16 shuffle partitions instead of one straggler. Salting must be
+    result-invisible — the oracle is the PLAIN SQL join, so any row the
+    salt plumbing loses or duplicates hash-fails. Output aggregated to
+    (nation, event_type) with exact integer centi-sums
+    (order-independent, no float accumulation)."""
+    from valico_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey"))
+    j = salted_join(ev, dim, "user_id", n_salts=16)
+    return (j.groupBy("c_nationkey", "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("value_centi"),
+                  F.countDistinct("user_id").cast("long")
+                   .alias("n_users")))
+
+
+def q_length_capped_split_docs(spark, sf_dir):
+    """Oversized-array splitting (operators/skew.length_capped_split —
+    the north rule's 'oversized span arrays' mitigation): per-doc token
+    arrays are split into chunks of <=16 rows, so a mega-document
+    becomes ceil(n/16) bounded tasks instead of one straggler. One row
+    per (doc, chunk) with the chunk's size and content md5 — closed-form
+    reproducible in SQL from the original text, so chunk boundaries,
+    ordering, and content are all verified."""
+    from valico_spark.operators.skew import length_capped_split
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"),
+                 lambda x: x != "").alias("tokens"))
+    split = length_capped_split(toks, "tokens", max_len=16)
+    return split.select(
+        "doc_id", F.col("__chunk").cast("int").alias("chunk"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("chunk_md5"))
+
+
+_SPAN_W = 80  # chars per synthesized span chunk
+
+
+def q_span_checks_docs(spark, sf_dir):
+    """North-rule span-sequence invariants (operators/spans) with an
+    exact closed-form oracle. Spans are synthesized deterministically
+    from each document (80-char chunks; every md5-bucket-0-of-7 chunk
+    becomes a media span; two seeded defect classes keyed off the doc
+    hash: reversed offsets, NULL first offset), then checked by the
+    GENERIC operators: spans_strictly_increasing + span_kind_stats +
+    assemble_text, and sequence_equality against a mutated twin (text
+    spans uppercased for one doc-hash class). The oracle never builds
+    structs — every output cell is a closed-form function of
+    (doc_id, text), so the operators are verified by independent
+    arithmetic, not by mirroring the construction."""
+    from valico_spark.operators import spans as sp
+    from valico_spark.operators.dedup import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    k = F.ceil(F.length("text") / F.lit(_SPAN_W)).cast("int")
+    d13 = F.pmod(portable_hash60(F.col("doc_id")), F.lit(13))
+
+    def mk_spans(mutate):
+        def build(i):
+            h7 = F.pmod(portable_hash60(
+                F.concat(F.col("doc_id"), F.lit(":"),
+                         i.cast("string"))), F.lit(7))
+            media = h7 == 0
+            chunk = F.col("text").substr(i * _SPAN_W + 1, F.lit(_SPAN_W))
+            if mutate:
+                chunk = F.when(d13 == 2, F.upper(chunk)).otherwise(chunk)
+            offset = (F.when(d13 == 0, k - 1 - i)
+                       .when((d13 == 1) & (i == 0),
+                             F.lit(None).cast("int"))
+                       .otherwise(i)).cast("int")
+            return F.struct(
+                F.when(media, F.lit("image"))
+                 .otherwise(F.lit("text")).alias("kind"),
+                F.when(~media, chunk).alias("text"),
+                F.when(media, F.concat(F.lit("m://"), F.col("doc_id"),
+                                       F.lit("/"), i.cast("string")))
+                 .alias("media_ref"),
+                offset.alias("offset"))
+        arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1), build)
+        # empty doc -> empty span array of the same struct type
+        return F.when(k > 0, arr).otherwise(F.slice(arr, 1, 0))
+
+    base = docs.select("doc_id", mk_spans(False).alias("spans"))
+    twin = docs.select("doc_id", mk_spans(True).alias("spans"))
+    checked = sp.span_kind_stats(sp.add_span_checks(base))
+    eq = (sp.sequence_equality(base, twin)
+            .withColumnRenamed("equal", "seq_equal"))
+    return (checked.join(eq, "doc_id")
+            .select(
+                "doc_id",
+                F.col("n_spans").cast("long").alias("n_spans"),
+                F.col("n_text_spans").cast("long").alias("n_text_spans"),
+                F.col("n_media_spans").cast("long")
+                 .alias("n_media_spans"),
+                F.col("text_chars").cast("long").alias("text_chars"),
+                "spans_ordered",
+                # assembled length only for ordered docs: sorting spans
+                # with defective (equal/NULL) offsets is not a total
+                # order, so the rendered stream is engine-ambiguous there
+                F.when(F.col("spans_ordered"),
+                       F.length(sp.assemble_text(F.col("spans"))))
+                 .cast("long").alias("assembled_chars"),
+                "seq_equal"))
+
+
+def q_stream_drift_events(spark, sf_dir):
+    """Streaming drift with an exact oracle: per-minute (window,
+    category) counts maintained by a watermarked streaming aggregation
+    over a readStream file source (the ONLY stateful op — state bounded
+    by windows-in-flight x |categories|), then the stateless chi-square
+    terms (streaming/drift_stream.chi_square_contributions) joined on
+    the drained sink. availableNow drains the source, so the result
+    must equal the direct batch computation the DuckDB oracle performs.
+    Per-category terms (o, e, contrib) are emitted instead of the
+    summed statistic because each term is a single float expression —
+    portable bit-for-bit — while a float SUM depends on accumulation
+    order."""
+    import os
+    import tempfile
+    import uuid
+
+    from valico_spark.streaming.drift_stream import (
+        chi_square_contributions, reference_shares,
+        windowed_category_counts)
+
+    src_dir = tempfile.mkdtemp(prefix="stream_drift_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               f"{src_dir}/events.parquet")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    counts = windowed_category_counts(stream, "ts", "event_type")
+    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.outputMode("complete").format("memory")
+               .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    shares = reference_shares(static, "event_type")
+    terms = chi_square_contributions(spark.table(name), shares)
+    return terms.select(
+        "window_start", "window_end", "cat", "o",
+        F.round("e", 6).alias("e6"),
+        F.round("contrib", 6).alias("chi2_6"))
+
+
+def q_infer_ruleset_docs(spark, sf_dir):
+    """Schema inference -> ruleset (operators/infer.infer_ruleset): one
+    combined aggregation pass suggests a draft-07 object schema for the
+    documents table — types from the Spark schema, required gated by
+    exact null counts, exact integer min/max bounds, enum for
+    low-cardinality strings (HLL-sketch gate re-checked exactly; the
+    20-value `source` column passes the gate but is rejected by the
+    exact check, `lang` becomes a 5-value enum). Flattened to one row
+    per field; the oracle recomputes every cell with plain SQL
+    aggregates."""
+    from valico_spark.operators.infer import infer_ruleset
+
+    docs = _t(spark, sf_dir, "documents")
+    rs = infer_ruleset(docs, enum_max=16)
+    req = set(rs["required"])
+    rows = []
+    for fname, sub in sorted(rs["properties"].items()):
+        enum = sub.get("enum")
+        rows.append((
+            fname,
+            sub.get("type"),
+            fname in req,
+            int(sub["minimum"]) if "minimum" in sub else None,
+            int(sub["maximum"]) if "maximum" in sub else None,
+            ",".join(v for v in enum if v is not None) if enum else None,
+            (None in enum) if enum else None,
+        ))
+    return spark.createDataFrame(
+        rows, "field string, ftype string, required boolean, "
+              "min_i long, max_i long, enum_csv string, "
+              "enum_nullable boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -884,6 +1072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_stats_docs": q_pixel_stats_docs,
         "paragraph_dedup_docs": q_paragraph_dedup_docs,
         "boilerplate_filter_docs": q_boilerplate_filter_docs,
+        "skew_salted_join_events": q_skew_salted_join_events,
+        "length_capped_split_docs": q_length_capped_split_docs,
+        "span_checks_docs": q_span_checks_docs,
+        "stream_drift_events": q_stream_drift_events,
+        "infer_ruleset_docs": q_infer_ruleset_docs,
     }
 
 
@@ -2192,6 +2385,168 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY n DESC, value ASC)::BIGINT
                      AS rank
             FROM c ORDER BY rank LIMIT 10
+        """,
+        # plain join: salting in the Spark plan must be result-invisible
+        "skew_salted_join_events": """
+            SELECT c.c_nationkey, e.event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT
+                     AS value_centi,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_nationkey, e.event_type
+        """,
+        "length_capped_split_docs": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, GREATEST(
+                       CAST(ceil(len(toks) / 16.0) AS INT), 1)))
+                       AS chunk
+              FROM t
+            )
+            SELECT doc_id, chunk::INT AS chunk,
+                   len(toks[chunk*16+1 : chunk*16+16])::BIGINT
+                     AS n_tokens,
+                   md5(array_to_string(toks[chunk*16+1 : chunk*16+16],
+                                       ' ')) AS chunk_md5
+            FROM c
+        """,
+        # closed-form span invariants: every cell is arithmetic over
+        # (doc_id, text) — no struct construction mirrored from Spark
+        "span_checks_docs": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     length(text) AS L,
+                     CAST(ceil(length(text) / 80.0) AS INT) AS k,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 13 AS d13
+              FROM documents
+            ), e AS (
+              SELECT doc_id, k, d13,
+                     COALESCE(list_sum([CASE WHEN
+                       ('0x' || substr(md5(doc_id || ':' || i), 1, 15))
+                         ::BIGINT % 7 = 0
+                       THEN 1 ELSE 0 END FOR i IN range(0, k)]), 0)
+                       AS n_media,
+                     COALESCE(list_sum([CASE WHEN
+                       ('0x' || substr(md5(doc_id || ':' || i), 1, 15))
+                         ::BIGINT % 7 = 0
+                       THEN 0 ELSE least(80, L - i*80) END
+                       FOR i IN range(0, k)]), 0) AS text_chars,
+                     COALESCE(list_sum([CASE WHEN
+                       ('0x' || substr(md5(doc_id || ':' || i), 1, 15))
+                         ::BIGINT % 7 <> 0
+                       AND substr(text, i*80 + 1, 80)
+                           <> upper(substr(text, i*80 + 1, 80))
+                       THEN 1 ELSE 0 END FOR i IN range(0, k)]), 0)
+                       AS n_changed
+              FROM d
+            )
+            SELECT doc_id,
+                   k::BIGINT AS n_spans,
+                   (k - n_media)::BIGINT AS n_text_spans,
+                   n_media::BIGINT AS n_media_spans,
+                   text_chars::BIGINT AS text_chars,
+                   CASE WHEN k = 0 THEN TRUE
+                        WHEN d13 = 1 THEN FALSE
+                        WHEN d13 = 0 THEN k <= 1
+                        ELSE TRUE END AS spans_ordered,
+                   CASE WHEN (CASE WHEN k = 0 THEN TRUE
+                                   WHEN d13 = 1 THEN FALSE
+                                   WHEN d13 = 0 THEN k <= 1
+                                   ELSE TRUE END)
+                        THEN (text_chars + 15 * n_media)::BIGINT
+                        END AS assembled_chars,
+                   CASE WHEN d13 = 2 THEN n_changed = 0
+                        ELSE TRUE END AS seq_equal
+            FROM e
+        """,
+        # direct batch computation of the streaming windowed drift
+        # terms; e/contrib are single float expressions in both engines
+        "stream_drift_events": """
+            WITH ref AS (
+              SELECT event_type AS cat, count(*) AS n_ref FROM events
+              GROUP BY event_type
+            ), tot AS (SELECT count(*) AS n_tot FROM events),
+            obs AS (
+              SELECT date_trunc('minute', ts) AS ws, event_type AS cat,
+                     count(*) AS o
+              FROM events GROUP BY 1, 2
+            ), wins AS (
+              SELECT ws, sum(o) AS n_obs FROM obs GROUP BY ws
+            ), grid AS (
+              SELECT w.ws, r.cat, r.n_ref, w.n_obs,
+                     COALESCE(obs.o, 0) AS o
+              FROM wins w CROSS JOIN ref r
+              LEFT JOIN obs ON obs.ws = w.ws AND obs.cat = r.cat
+            )
+            SELECT g.ws AS window_start,
+                   g.ws + INTERVAL 1 MINUTE AS window_end,
+                   g.cat, g.o::BIGINT AS o,
+                   round((g.n_ref / t.n_tot) * g.n_obs, 6) AS e6,
+                   round(pow(g.o - (g.n_ref / t.n_tot) * g.n_obs, 2)
+                         / ((g.n_ref / t.n_tot) * g.n_obs), 6) AS chi2_6
+            FROM grid g CROSS JOIN tot t
+        """,
+        "infer_ruleset_docs": """
+            WITH s AS (
+              SELECT count(DISTINCT lang) AS lang_dv,
+                     count(DISTINCT source) AS src_dv,
+                     count(DISTINCT text) AS text_dv,
+                     sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                       AS lang_nulls,
+                     sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                       AS src_nulls,
+                     sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                       AS text_nulls,
+                     sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                       AS id_nulls,
+                     sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                       AS nc_nulls,
+                     min(doc_id) AS min_id, max(doc_id) AS max_id,
+                     min(n_chars) AS min_nc, max(n_chars) AS max_nc,
+                     array_to_string(list_sort(list(DISTINCT lang)), ',')
+                       AS lang_csv,
+                     array_to_string(list_sort(list(DISTINCT source)),
+                                     ',') AS src_csv
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT 'doc_id' AS field, 'integer' AS ftype,
+                     id_nulls = 0 AS required,
+                     min_id::BIGINT AS min_i, max_id::BIGINT AS max_i,
+                     NULL::VARCHAR AS enum_csv,
+                     NULL::BOOLEAN AS enum_nullable
+              FROM s
+              UNION ALL
+              SELECT 'lang',
+                     CASE WHEN lang_dv <= 16 THEN NULL ELSE 'string' END,
+                     lang_nulls = 0, NULL, NULL,
+                     CASE WHEN lang_dv <= 16 THEN lang_csv END,
+                     CASE WHEN lang_dv <= 16 THEN lang_nulls > 0 END
+              FROM s
+              UNION ALL
+              SELECT 'n_chars', 'integer', nc_nulls = 0,
+                     min_nc::BIGINT, max_nc::BIGINT, NULL, NULL
+              FROM s
+              UNION ALL
+              SELECT 'source',
+                     CASE WHEN src_dv <= 16 THEN NULL ELSE 'string' END,
+                     src_nulls = 0, NULL, NULL,
+                     CASE WHEN src_dv <= 16 THEN src_csv END,
+                     CASE WHEN src_dv <= 16 THEN src_nulls > 0 END
+              FROM s
+              UNION ALL
+              SELECT 'text',
+                     CASE WHEN text_dv <= 16 THEN NULL ELSE 'string' END,
+                     text_nulls = 0, NULL, NULL,
+                     CASE WHEN text_dv <= 16
+                          THEN '' END,
+                     CASE WHEN text_dv <= 16 THEN text_nulls > 0 END
+              FROM s
+            )
         """,
     }
 

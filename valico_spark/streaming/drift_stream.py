@@ -59,13 +59,19 @@ def windowed_category_counts(stream_df: DataFrame, time_col: str,
                     F.col("w.end").alias("window_end"), "cat", "o"))
 
 
-def chi_square_by_window(counts: DataFrame,
-                         shares: DataFrame) -> DataFrame:
-    """Stateless finisher: Pearson chi-square per window from the counts
-    relation, matching ``drift.chi_square`` exactly — expected =
-    share * window_total, Haldane 0.5 for categories missing from the
-    reference, reference categories absent from a window contribute
-    their full expected mass.
+def chi_square_contributions(counts: DataFrame,
+                             shares: DataFrame) -> DataFrame:
+    """Per-(window, category) chi-square terms from the counts relation:
+    observed ``o``, expected ``e`` = share * window_total (Haldane 0.5
+    for categories missing from the reference), and the Pearson term
+    ``(o-e)^2/e``. Reference categories absent from a window appear
+    with ``o = 0`` and their full expected mass.
+
+    Exposed separately from :func:`chi_square_by_window` because the
+    per-category terms are each a single float expression (portable
+    bit-for-bit across engines), whereas the summed statistic depends
+    on float accumulation order — so exact cross-engine oracles check
+    this relation and consumers sum it.
     """
     # renamed projections avoid self-join attribute conflicts (wins,
     # totals, and the grid all derive from the same counts relation)
@@ -93,9 +99,25 @@ def chi_square_by_window(counts: DataFrame,
     e = F.when(F.col("e_share").isNotNull(),
                F.col("e_share") * F.col("n_obs")).otherwise(F.lit(0.5))
     return (grid.withColumn("e", e)
-                .groupBy(F.col("w_start").alias("window_start"),
-                         F.col("w_end").alias("window_end"))
-                .agg(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
-                      .alias("statistic"),
-                     (F.count(F.lit(1)) - 1).cast("long").alias("df"),
-                     F.sum("o").cast("long").alias("n_obs")))
+                .select(F.col("w_start").alias("window_start"),
+                        F.col("w_end").alias("window_end"),
+                        F.col("g_cat").alias("cat"),
+                        F.col("o").cast("long").alias("o"),
+                        F.col("e"),
+                        ((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+                        .alias("contrib")))
+
+
+def chi_square_by_window(counts: DataFrame,
+                         shares: DataFrame) -> DataFrame:
+    """Stateless finisher: Pearson chi-square per window from the counts
+    relation, matching ``drift.chi_square`` exactly — expected =
+    share * window_total, Haldane 0.5 for categories missing from the
+    reference, reference categories absent from a window contribute
+    their full expected mass.
+    """
+    terms = chi_square_contributions(counts, shares)
+    return (terms.groupBy("window_start", "window_end")
+                 .agg(F.sum("contrib").alias("statistic"),
+                      (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+                      F.sum("o").cast("long").alias("n_obs")))
