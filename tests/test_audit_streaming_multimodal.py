@@ -296,3 +296,36 @@ class TestStreamingDrift:
         # drifted window carries a much larger statistic
         assert got["2024-01-01 00:01:00"][0] > \
             got["2024-01-01 00:00:00"][0]
+
+    def test_contributions_grid_and_haldane(self, spark):
+        """Per-(window, category) terms: reference categories absent
+        from a window appear with o=0 and full expected mass; observed
+        categories missing from the reference get Haldane e=0.5; terms
+        sum to chi_square_by_window's statistic."""
+        from valico_spark.operators.drift import chi_square
+        from valico_spark.streaming.drift_stream import (
+            chi_square_contributions, reference_shares,
+            windowed_category_counts,
+        )
+
+        ev = self._events(spark)
+        counts = windowed_category_counts(ev, "ts", "cat",
+                                          window="1 minute")
+        terms = chi_square_contributions(
+            counts, reference_shares(self._reference(spark), "cat"))
+        rows = {(str(r.window_start), r.cat): r
+                for r in terms.collect()}
+        # window 2 has no 'a' observations but 'a' is 2/3 of the
+        # reference: expected = (2/3) * 7 observed, o = 0
+        w2a = rows[("2024-01-01 00:01:00", "a")]
+        assert w2a.o == 0 and abs(w2a.e - (2 / 3) * 7) < 1e-12
+        # 'novel' is absent from the reference: Haldane e = 0.5
+        w2n = rows[("2024-01-01 00:01:00", "novel")]
+        assert w2n.o == 1 and w2n.e == 0.5
+        # terms sum to the batch statistic per window
+        stat = sum(r.contrib for (w, _), r in rows.items()
+                   if w == "2024-01-01 00:01:00")
+        sl = ev.where(F.col("ts") >= "2024-01-01 00:01:00")
+        batch = chi_square(sl, self._reference(spark),
+                           "cat").collect()[0]
+        assert abs(stat - batch.statistic) < 1e-9
