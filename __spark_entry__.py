@@ -981,6 +981,41 @@ def q_stream_drift_events(spark, sf_dir):
         F.round("contrib", 6).alias("chi2_6"))
 
 
+def q_stream_streaks_events(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/streaks.py,
+    applyInPandasWithState): per-user runs of >=3 CONSECUTIVE invalid
+    events, emitted when the run closes. Consecutiveness is
+    order-dependent — no windowed aggregation expresses it — so state
+    (streak length, last failing id) is carried across micro-batches in
+    the state store. The validity column comes from the SAME compiled
+    ruleset plan as the batch engine (with_validation). Drained with
+    availableNow over a single file the result equals the batch
+    gaps-and-islands computation, which the DuckDB oracle performs with
+    window functions."""
+    import os
+    import tempfile
+    import uuid
+
+    from valico_spark.streaming.streaks import invalid_streaks
+    from valico_spark.streaming.validate_stream import with_validation
+
+    src_dir = tempfile.mkdtemp(prefix="stream_streaks_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               f"{src_dir}/events.parquet")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(static.schema).parquet(src_dir)
+    validated = with_validation(stream, _EVENTS_STREAM_RULESET)
+    streaks = invalid_streaks(validated, "user_id", "ts", "event_id",
+                              min_len=3)
+    name = f"stream_streaks_{uuid.uuid4().hex[:8]}"
+    q = (streaks.writeStream.outputMode("append").format("memory")
+                .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .select(F.col("key").alias("user_id"), "streak_len",
+                         "last_invalid_id"))
+
+
 def q_infer_ruleset_docs(spark, sf_dir):
     """Schema inference -> ruleset (operators/infer.infer_ruleset): one
     combined aggregation pass suggests a draft-07 object schema for the
@@ -1076,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_capped_split_docs": q_length_capped_split_docs,
         "span_checks_docs": q_span_checks_docs,
         "stream_drift_events": q_stream_drift_events,
+        "stream_streaks_events": q_stream_streaks_events,
         "infer_ruleset_docs": q_infer_ruleset_docs,
     }
 
@@ -2462,6 +2498,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d13 = 2 THEN n_changed = 0
                         ELSE TRUE END AS seq_equal
             FROM e
+        """,
+        # gaps-and-islands over the same validity predicate as
+        # stream_validate_events; a run is CLOSED iff a later event
+        # exists for the user (end_rn < the user's max rn — the next
+        # row is valid by run-maximality)
+        "stream_streaks_events": """
+            WITH v AS (
+              SELECT user_id, event_id,
+                     (event_id IS NOT NULL AND user_id IS NOT NULL
+                      AND event_type IS NOT NULL
+                      AND event_type IN ('click','view','purchase',
+                                         'signup')
+                      AND (value IS NULL OR value <= 300)) AS valid,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), g AS (
+              SELECT *, rn - row_number() OVER (
+                       PARTITION BY user_id, valid ORDER BY rn) AS grp
+              FROM v
+            ), runs AS (
+              SELECT user_id, grp, count(*) AS streak_len,
+                     max(rn) AS end_rn,
+                     max_by(event_id, rn) AS last_invalid_id
+              FROM g WHERE NOT valid GROUP BY user_id, grp
+            ), tails AS (
+              SELECT user_id, max(rn) AS max_rn FROM v GROUP BY user_id
+            )
+            SELECT r.user_id, r.streak_len::BIGINT AS streak_len,
+                   r.last_invalid_id::BIGINT AS last_invalid_id
+            FROM runs r JOIN tails t USING (user_id)
+            WHERE r.streak_len >= 3 AND r.end_rn < t.max_rn
         """,
         # direct batch computation of the streaming windowed drift
         # terms; e/contrib are single float expressions in both engines

@@ -297,6 +297,65 @@ class TestStreamingDrift:
         assert got["2024-01-01 00:01:00"][0] > \
             got["2024-01-01 00:00:00"][0]
 
+    def test_invalid_streaks_state_spans_micro_batches(
+            self, spark, tmp_path):
+        """applyInPandasWithState streak monitor: a run of consecutive
+        failures split across two micro-batches (maxFilesPerTrigger=1)
+        must still be detected — state carries (streak, last_id) over
+        the batch boundary; open tail runs stay in state unemitted."""
+        import os
+        import time
+
+        from valico_spark.streaming.streaks import invalid_streaks
+
+        cols = ["user_id", "ts_s", "event_id", "valid"]
+        batch1 = [(1, "2024-01-01 00:00:01", 101, False),
+                  (1, "2024-01-01 00:00:02", 102, False),
+                  (2, "2024-01-01 00:00:01", 201, False),
+                  (2, "2024-01-01 00:00:02", 202, False),
+                  (2, "2024-01-01 00:00:03", 203, True)]
+        batch2 = [(1, "2024-01-01 00:00:03", 103, False),
+                  (1, "2024-01-01 00:00:04", 104, True),
+                  (1, "2024-01-01 00:00:05", 105, False)]
+        src = tmp_path / "streak_src"
+        src.mkdir()
+
+        def write_one(rows, name, mtime):
+            df = (spark.createDataFrame(rows, cols)
+                  .withColumn("ts", F.col("ts_s").cast("timestamp"))
+                  .drop("ts_s").coalesce(1))
+            d = str(tmp_path / ("stage_" + name))
+            df.write.parquet(d)
+            part = [f for f in os.listdir(d)
+                    if f.endswith(".parquet")][0]
+            dst = str(src / name)
+            os.rename(os.path.join(d, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        # mtime order fixes micro-batch order (FileStreamSource sorts
+        # unseen files by modification time)
+        now = time.time()
+        write_one(batch1, "a.parquet", now - 120)
+        write_one(batch2, "b.parquet", now - 60)
+
+        schema = ("user_id bigint, event_id bigint, valid boolean, "
+                  "ts timestamp")
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        out = invalid_streaks(stream, "user_id", "ts", "event_id",
+                              min_len=3)
+        q = (out.writeStream.outputMode("append").format("memory")
+                .queryName("streaks_mb")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = [(r.key, r.streak_len, r.last_invalid_id)
+               for r in spark.table("streaks_mb").collect()]
+        # user 1: 101,102 (batch 1) + 103 (batch 2) close at 104 ->
+        # one run of 3 ending at 103. user 2's run of 2 < min_len;
+        # user 1's trailing 105 is an open tail (stays in state).
+        assert got == [(1, 3, 103)]
+
     def test_contributions_grid_and_haldane(self, spark):
         """Per-(window, category) terms: reference categories absent
         from a window appear with o=0 and full expected mass; observed
