@@ -524,10 +524,15 @@ def q_sessionize_events(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: ngram-Jaccard pairs -> connected components
-    (HashMin label propagation) -> canonical representative + size."""
+    """Near-dup clusters: exact PPJoin Jaccard pairs (prefix-filtered
+    word shingles — unblocked, no recall loss, nothing quadratic in the
+    corpus) -> connected components (HashMin label propagation) ->
+    canonical representative + size. Upstream switched from the
+    block-guarded char-ngram variant in r4 so the END-TO-END dedup
+    pipeline (pairs -> components -> representatives) is scale-safe
+    without relying on a max-block-size guard."""
     from valico_spark.operators.graph import dedup_clusters
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    pairs = q_dedup_jaccard_prefix(spark, sf_dir)
     return dedup_clusters(pairs)
 
 
@@ -1978,21 +1983,43 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
         "dedup_clusters": """
-            WITH RECURSIVE sh AS (
+            WITH RECURSIVE sh0 AS (
               SELECT doc_id,
-                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
-                         BIGINT) AS VARCHAR) AS blk,
-                     list_distinct([substr(text, i, 3)
-                       FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
-                       AS grams
+                     string_split_regex(trim(text), '\\s+') AS w
               FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w) - 2, 0) + 1)])
+                       AS grams
+              FROM sh0
+            ), b AS (
+              SELECT doc_id, grams, len(grams) AS sz
+              FROM sh WHERE len(grams) > 0
+            ), g AS (
+              SELECT doc_id, sz, unnest(grams) AS gram FROM b
+            ), f AS (
+              SELECT gram, count(*)::BIGINT AS gram_df FROM g GROUP BY gram
+            ), r AS (
+              SELECT g.doc_id, g.sz, g.gram,
+                     row_number() OVER (PARTITION BY g.doc_id
+                                        ORDER BY f.gram_df, g.gram) AS rn
+              FROM g JOIN f USING (gram)
+            ), p AS (
+              SELECT doc_id, gram FROM r
+              WHERE rn <= sz - CAST(ceil(0.8 * sz) AS INT) + 1
+            ), cand AS (
+              SELECT DISTINCT pa.doc_id AS a_id, pb.doc_id AS b_id
+              FROM p pa JOIN p pb
+                ON pa.gram = pb.gram AND pa.doc_id < pb.doc_id
             ), pairs AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM sh a JOIN sh b
-                ON a.blk = b.blk AND a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.grams, b.grams))
-                    / greatest(len(a.grams) + len(b.grams)
-                               - len(list_intersect(a.grams, b.grams)), 1)
+              SELECT c.a_id, c.b_id
+              FROM cand c
+              JOIN b x ON c.a_id = x.doc_id
+              JOIN b y ON c.b_id = y.doc_id
+              WHERE len(list_intersect(x.grams, y.grams))
+                    / greatest(len(x.grams) + len(y.grams)
+                               - len(list_intersect(x.grams, y.grams)), 1)
                     >= 0.8
             ), edges AS (
               SELECT a_id AS u, b_id AS v FROM pairs
@@ -2374,21 +2401,43 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY domain
         """,
         "dedup_keep_best": """
-            WITH RECURSIVE sh AS (
+            WITH RECURSIVE sh0 AS (
               SELECT doc_id,
-                     lang || '|' || CAST(CAST(floor(n_chars / 200.0) AS
-                         BIGINT) AS VARCHAR) AS blk,
-                     list_distinct([substr(text, i, 3)
-                       FOR i IN range(1, greatest(length(text) - 2, 0) + 1)])
-                       AS grams
+                     string_split_regex(trim(text), '\\s+') AS w
               FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(w) - 2, 0) + 1)])
+                       AS grams
+              FROM sh0
+            ), b AS (
+              SELECT doc_id, grams, len(grams) AS sz
+              FROM sh WHERE len(grams) > 0
+            ), g AS (
+              SELECT doc_id, sz, unnest(grams) AS gram FROM b
+            ), f AS (
+              SELECT gram, count(*)::BIGINT AS gram_df FROM g GROUP BY gram
+            ), r AS (
+              SELECT g.doc_id, g.sz, g.gram,
+                     row_number() OVER (PARTITION BY g.doc_id
+                                        ORDER BY f.gram_df, g.gram) AS rn
+              FROM g JOIN f USING (gram)
+            ), p AS (
+              SELECT doc_id, gram FROM r
+              WHERE rn <= sz - CAST(ceil(0.8 * sz) AS INT) + 1
+            ), cand AS (
+              SELECT DISTINCT pa.doc_id AS a_id, pb.doc_id AS b_id
+              FROM p pa JOIN p pb
+                ON pa.gram = pb.gram AND pa.doc_id < pb.doc_id
             ), pairs AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id
-              FROM sh a JOIN sh b
-                ON a.blk = b.blk AND a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.grams, b.grams))
-                    / greatest(len(a.grams) + len(b.grams)
-                               - len(list_intersect(a.grams, b.grams)), 1)
+              SELECT c.a_id, c.b_id
+              FROM cand c
+              JOIN b x ON c.a_id = x.doc_id
+              JOIN b y ON c.b_id = y.doc_id
+              WHERE len(list_intersect(x.grams, y.grams))
+                    / greatest(len(x.grams) + len(y.grams)
+                               - len(list_intersect(x.grams, y.grams)), 1)
                     >= 0.8
             ), edges AS (
               SELECT a_id AS u, b_id AS v FROM pairs
