@@ -56,19 +56,22 @@ def invalid_streaks(validated: DataFrame, key_col: str,
     def fn(key: Any, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
-        streak, last_id = state.get if state.exists else (0, 0)
+        streak, last_id = state.get if state.exists else (0, None)
         out_len, out_last = [], []
         for pdf in pdfs:
             pdf = pdf.sort_values([time_col, id_col])
             for ok, rid in zip(pdf[valid_col], pdf[id_col]):
-                if ok:
+                # NULL valid (unevaluable row) counts as a failure;
+                # NULL ids (failed upstream extract) keep the run going
+                # with a NULL last_invalid_id rather than crashing
+                if pd.notna(ok) and bool(ok):
                     if streak >= min_len:
                         out_len.append(streak)
                         out_last.append(last_id)
                     streak = 0
                 else:
                     streak += 1
-                    last_id = int(rid)
+                    last_id = int(rid) if pd.notna(rid) else None
         state.update((streak, last_id))
         if out_len:
             yield pd.DataFrame({
