@@ -200,12 +200,25 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
     """
     from pyspark.sql import Window
 
+    # shingles hash to int64 IMMEDIATELY: every downstream shuffle
+    # (frequency count, prefix join, verify join) then moves 8-byte
+    # longs instead of multi-word strings, and the per-doc rank sort
+    # compares longs. Equality on hashes ≡ equality on shingles up to
+    # 64-bit collisions (~2^-64 per gram pair — immaterial at 10^12
+    # docs, same argument as hashed_shingles). The prefix principle
+    # only needs SOME global total order shared by all docs; ordering
+    # by (df, hash) instead of (df, shingle) keeps rarest-first and
+    # changes at most the candidate SUPERSET — the exact-Jaccard verify
+    # makes the emitted pair set order-invariant, which is why the SQL
+    # oracle (string shingles, string order) matches value-for-value.
     base = (ensure_min_partitions(df)
             .select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(text_col), w).alias("grams"))
-            .withColumn("sz", F.size("grams"))
+                    F.array_distinct(F.transform(
+                        word_shingles(F.col(text_col), w),
+                        lambda s: F.xxhash64(s))).alias("hsh"))
+            .withColumn("sz", F.size("hsh"))
             .where(F.col("sz") > 0))
-    g = base.select("id", "sz", F.explode("grams").alias("gram"))
+    g = base.select("id", "sz", F.explode("hsh").alias("gram"))
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
     ranked = (g.join(freq, "gram")
                .withColumn("rn", F.row_number().over(
@@ -224,11 +237,8 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
                   .select(F.col("pa.id").alias("a_id"),
                           F.col("pb.id").alias("b_id"))
                   .distinct())
-    hashed = base.select(
-        "id", F.array_distinct(
-            F.transform("grams", lambda s: F.xxhash64(s))).alias("hsh"))
-    a = hashed.select(F.col("id").alias("a_id"), F.col("hsh").alias("a_sh"))
-    b = hashed.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_sh"))
+    a = base.select(F.col("id").alias("a_id"), F.col("hsh").alias("a_sh"))
+    b = base.select(F.col("id").alias("b_id"), F.col("hsh").alias("b_sh"))
     joined = cand.join(a, "a_id").join(b, "b_id")
     sa, sb = F.size("a_sh"), F.size("b_sh")
     joined = joined.where(
