@@ -1021,6 +1021,32 @@ def q_stream_streaks_events(spark, sf_dir):
                          "last_invalid_id"))
 
 
+def q_asof_join_events_orders(spark, sf_dir):
+    """Backward as-of join (operators/relational.asof_join — Spark has
+    no native one): each event is enriched with the customer's LATEST
+    order at or before the event time. Distributed as the union +
+    running-last trick (one key shuffle, no range explosion, no
+    Python); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    trick is verified against an engine-level implementation of the
+    semantics. Order ties per (customer, timestamp) are pre-aggregated
+    away identically on both sides (max orderkey wins), which is what
+    makes the as-of well-defined."""
+    from valico_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    snap = (_t(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("user_id"),
+                     F.col("o_orderdate").alias("snap_ts"))
+            .agg(F.max("o_orderkey").alias("last_orderkey"),
+                 F.max_by("o_totalprice", "o_orderkey")
+                  .alias("last_totalprice")))
+    out = asof_join(ev, snap, "user_id", "ts", "snap_ts",
+                    ["last_orderkey", "last_totalprice"])
+    return out.select("event_id", "user_id", "event_type",
+                      "last_orderkey", "last_totalprice")
+
+
 def q_infer_ruleset_docs(spark, sf_dir):
     """Schema inference -> ruleset (operators/infer.infer_ruleset): one
     combined aggregation pass suggests a draft-07 object schema for the
@@ -1117,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_checks_docs": q_span_checks_docs,
         "stream_drift_events": q_stream_drift_events,
         "stream_streaks_events": q_stream_streaks_events,
+        "asof_join_events_orders": q_asof_join_events_orders,
         "infer_ruleset_docs": q_infer_ruleset_docs,
     }
 
@@ -2606,6 +2633,21 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(g.o - (g.n_ref / t.n_tot) * g.n_obs, 2)
                          / ((g.n_ref / t.n_tot) * g.n_obs), 6) AS chi2_6
             FROM grid g CROSS JOIN tot t
+        """,
+        # native engine-level ASOF JOIN as the oracle for the union +
+        # running-last distributed implementation
+        "asof_join_events_orders": """
+            WITH snap AS (
+              SELECT o_custkey AS user_id, o_orderdate AS d,
+                     max(o_orderkey) AS last_orderkey,
+                     max_by(o_totalprice, o_orderkey) AS last_totalprice
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.event_type,
+                   s.last_orderkey, s.last_totalprice
+            FROM events e
+            ASOF LEFT JOIN snap s
+              ON e.user_id = s.user_id AND e.ts >= s.d
         """,
         "infer_ruleset_docs": """
             WITH s AS (

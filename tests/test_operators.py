@@ -69,6 +69,33 @@ class TestReferential:
         assert o == []
 
 
+class TestAsofJoin:
+    def test_backward_asof_edges(self, spark):
+        """Ties adopt the equal-timestamp snapshot (<= semantics), rows
+        before any snapshot get NULLs, and a snapshot whose payload
+        FIELD is NULL is still adopted atomically — not skipped in
+        favor of an older non-null value (the struct-fill property)."""
+        left = spark.createDataFrame(
+            [(1, "u", 5, "early"),   # before any snapshot -> NULLs
+             (2, "u", 10, "tie"),    # ties snapshot at t=10 -> adopts it
+             (3, "u", 25, "mid"),    # newest <= 25 is t=20 (null field!)
+             (4, "u", 35, "late"),   # newest is t=30
+             (5, "v", 99, "nokey")],  # key with no snapshots -> NULLs
+            "event_id long, k string, t long, tag string")
+        right = spark.createDataFrame(
+            [("u", 10, 100, "a"),
+             ("u", 20, None, "b"),   # NULL payload field
+             ("u", 30, 300, "c")],
+            "k string, t long, val int, lbl string")
+        out = {r.event_id: (r.val, r.lbl)
+               for r in relational.asof_join(
+                   left, right, "k", "t", "t",
+                   ["val", "lbl"]).collect()}
+        assert out == {1: (None, None), 2: (100, "a"),
+                       3: (None, "b"), 4: (300, "c"),
+                       5: (None, None)}
+
+
 class TestDrift:
     def test_chi_square_same_distribution(self, spark, media_df):
         half_a = media_df.where(F.crc32(F.col("media_ref")) % 2 == 0)

@@ -74,3 +74,60 @@ def referential_report(child: DataFrame, child_key, parent: DataFrame,
     o = orphans(child, child_key, parent, parent_key)
     return o.select(*id_cols, *[F.col(c).alias(f"dangling_{c}")
                                 for c in ck])
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              payload_cols: list[str],
+              tolerance: None = None) -> DataFrame:
+    """Backward as-of join: every left row gains the payload of the
+    LATEST right row with the same key and ``right_ts <= left_ts``
+    (NULLs when no prior right row exists) — the event-to-latest-
+    snapshot enrichment Spark has no native operator for.
+
+    Distributed shape — the union + running-last trick, ONE shuffle:
+    both sides are union-tagged and sorted per key by (ts, side) with
+    the right side ordered FIRST on ties (<= semantics), then a
+    ``last(payload, ignorenulls=True)`` running window propagates the
+    newest snapshot forward; left rows are then filtered back out. No
+    per-key loop, no range explosion, no Python — at 100 TB this is a
+    single key-shuffle exactly like any groupBy, and skewed keys are
+    AQE's problem, same as every other agg.
+
+    Ties WITHIN the right side (same key, same ts) must be resolved by
+    the caller (pre-aggregate to one row per (key, ts)) — running-last
+    would otherwise pick the physical order. The same requirement makes
+    an independent engine's ASOF JOIN (e.g. DuckDB's) a well-defined
+    oracle.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    # the payload travels as ONE struct so the running-last adopts the
+    # newest snapshot atomically — per-column ignorenulls fills would
+    # stitch fields from DIFFERENT snapshots when some are NULL
+    r_payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(key).alias("__k"), F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols])
+                        .alias("s")).schema["s"].dataType).alias("__row"),
+        r_payload.alias("__p"))
+    l = left.select(
+        F.col(key).alias("__k"), F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__row"),
+        F.lit(None).cast(
+            right.select(r_payload.alias("s")).schema["s"].dataType)
+         .alias("__p"))
+    u = l.unionByName(r)
+    w = (Window.partitionBy("__k").orderBy("__t", "__side")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u.select(
+        "__side", "__row",
+        F.last("__p", ignorenulls=True).over(w).alias("__f"))
+    return (filled.where(F.col("__side") == 1)
+                  .select(*[F.col(f"__row.{c}").alias(c) for c in lcols],
+                          *[F.col(f"__f.{c}").alias(c)
+                            for c in payload_cols]))
