@@ -1047,6 +1047,27 @@ def q_asof_join_events_orders(spark, sf_dir):
                       "last_orderkey", "last_totalprice")
 
 
+def q_range_join_orders_bands(spark, sf_dir):
+    """Point-in-interval range join (operators/relational.range_join —
+    Spark plans bare inequality joins as broadcast nested loops, viable
+    only for tiny sides): orders priced into [lo, hi) bands via
+    bucketization — points hash to floor(p/W), intervals replicate to
+    their bucket span, equi-join + residual filter. The oracle is the
+    plain SQL inequality join, so bucket assignment (including float
+    boundary behavior) is verified row-for-row."""
+    from valico_spark.operators.relational import range_join
+
+    bands = spark.range(20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        ((F.col("id") + 1) * 20000.0).alias("hi"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    out = range_join(orders, bands, "o_totalprice", "lo", "hi",
+                     bucket_width=5000.0)
+    return out.select("o_orderkey", "band_id", "o_totalprice")
+
+
 def q_infer_ruleset_docs(spark, sf_dir):
     """Schema inference -> ruleset (operators/infer.infer_ruleset): one
     combined aggregation pass suggests a draft-07 object schema for the
@@ -1144,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_events": q_stream_drift_events,
         "stream_streaks_events": q_stream_streaks_events,
         "asof_join_events_orders": q_asof_join_events_orders,
+        "range_join_orders_bands": q_range_join_orders_bands,
         "infer_ruleset_docs": q_infer_ruleset_docs,
     }
 
@@ -2648,6 +2670,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN snap s
               ON e.user_id = s.user_id AND e.ts >= s.d
+        """,
+        # plain inequality join: the bucketized plan must reproduce it
+        # row-for-row, float boundaries included
+        "range_join_orders_bands": """
+            WITH bands AS (
+              SELECT i::INT AS band_id, i * 20000.0 AS lo,
+                     (i + 1) * 20000.0 AS hi
+              FROM unnest(range(0, 20)) AS t(i)
+            )
+            SELECT o.o_orderkey, b.band_id, o.o_totalprice
+            FROM orders o JOIN bands b
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         """,
         "infer_ruleset_docs": """
             WITH s AS (

@@ -96,6 +96,33 @@ class TestAsofJoin:
                        5: (None, None)}
 
 
+class TestRangeJoin:
+    def test_bucketized_matches_inequality(self, spark):
+        """Bucketized plan == brute-force lo <= p < hi semantics,
+        including points on interval boundaries, intervals spanning
+        many buckets, and overlapping intervals (a point may match
+        several)."""
+        pts = spark.createDataFrame(
+            [(i, float(v)) for i, v in
+             enumerate([0, 5, 10, 15, 99, 100, 250, 999])],
+            "pid long, p double")
+        iv = spark.createDataFrame(
+            [(1, 0.0, 10.0),      # p=10 excluded (half-open)
+             (2, 10.0, 100.0),    # p=10 included, p=100 excluded
+             (3, 0.0, 1000.0),    # spans many buckets, overlaps all
+             (4, 500.0, 600.0)],  # matches nothing here
+            "iid long, lo double, hi double")
+        got = sorted((r.pid, r.iid) for r in relational.range_join(
+            pts, iv, "p", "lo", "hi", bucket_width=7.0).collect())
+        rows = [(i, float(v)) for i, v in
+                enumerate([0, 5, 10, 15, 99, 100, 250, 999])]
+        ivs = [(1, 0.0, 10.0), (2, 10.0, 100.0),
+               (3, 0.0, 1000.0), (4, 500.0, 600.0)]
+        want = sorted((pid, iid) for pid, p in rows
+                      for iid, lo, hi in ivs if lo <= p < hi)
+        assert got == want and len(got) > 0
+
+
 class TestDrift:
     def test_chi_square_same_distribution(self, spark, media_df):
         half_a = media_df.where(F.crc32(F.col("media_ref")) % 2 == 0)

@@ -131,3 +131,36 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                   .select(*[F.col(f"__row.{c}").alias(c) for c in lcols],
                           *[F.col(f"__f.{c}").alias(c)
                             for c in payload_cols]))
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               left_point: str, right_lo: str, right_hi: str,
+               bucket_width: float, key: str | None = None,
+               how: str = "inner") -> DataFrame:
+    """Point-in-interval join (``lo <= point < hi``) for LARGE x LARGE
+    sides — the other relational operator Spark lacks natively (its
+    planner turns a bare inequality join into a broadcast nested loop,
+    which is only viable when one side is tiny).
+
+    Bucketization: every point lands in bucket ``floor(point/W)``; every
+    interval replicates to buckets ``floor(lo/W) .. floor(hi/W)``. An
+    equi-join on (key?, bucket) then finds every qualifying pair —
+    floor is monotone, so ``lo <= p < hi`` forces the point's bucket
+    into the interval's bucket range regardless of float rounding — and
+    the residual inequality filter removes false bucket-mates. A point
+    belongs to exactly ONE bucket, so no post-join dedup is needed.
+
+    Scale shape: one hash shuffle on (key, bucket); replication factor
+    = interval span / W, so ``bucket_width`` trades shuffle volume
+    against bucket selectivity. Nothing quadratic, no nested loop.
+    """
+    point_b = F.floor(F.col(left_point) / F.lit(bucket_width))
+    l = left.withColumn("__b", point_b.cast("long"))
+    lo_b = F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long")
+    hi_b = F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long")
+    r = (right.withColumn("__b", F.explode(F.sequence(lo_b, hi_b))))
+    on = ["__b", key] if key else ["__b"]
+    return (l.join(r, on=on, how=how)
+             .where((F.col(left_point) >= F.col(right_lo))
+                    & (F.col(left_point) < F.col(right_hi)))
+             .drop("__b"))
