@@ -14,10 +14,13 @@ documents that actually hit (inner join prunes the rest first). We
 leave the broadcast decision to AQE rather than forcing the hint: a
 pathological "benchmark" as big as the corpus degrades to a plain
 shuffle join instead of OOMing executors (same policy as
-``uniqueness_violations``). Gram strings stay raw (not hashed) because
-the broadcast build side makes key width irrelevant; at petabyte scale
-with a *shuffled* join you would xxhash64 the gram first as
-``jaccard_pairs_prefix``'s verify step does.
+``uniqueness_violations``). Grams are xxhash64-hashed before the join
+(same move as ``jaccard_pairs_prefix``): the join probe, the broadcast
+hashmap, and the hit-side countDistinct then operate on 8-byte longs
+instead of ~n-word strings. A corpus/benchmark gram collision would
+flag a clean document with p ~ |corpus grams| x |bench grams| / 2^64 —
+immaterial even at 10^12 documents, and the count-based outputs are
+unchanged (verified value-for-value by the string-keyed SQL oracle).
 """
 
 from __future__ import annotations
@@ -49,15 +52,18 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
     """
     corp = (ensure_min_partitions(docs)
             .select(F.col(id_col).alias("doc_id"),
-                    word_shingles(F.col(text_col), n).alias("grams"))
+                    F.array_distinct(F.transform(
+                        word_shingles(F.col(text_col), n),
+                        lambda g: F.xxhash64(g))).alias("grams"))
             .withColumn("doc_grams", F.size("grams"))
             .where(F.col("doc_grams") > 0))
     corp_g = corp.select("doc_id", "doc_grams",
                          F.explode("grams").alias("gram"))
     bench_g = (benchmark
                .select(F.col(bench_id_col).alias("bench_id"),
-                       F.explode(word_shingles(F.col(bench_text_col), n))
-                        .alias("gram"))
+                       F.explode(F.transform(
+                           word_shingles(F.col(bench_text_col), n),
+                           lambda g: F.xxhash64(g))).alias("gram"))
                .distinct())
     hits = corp_g.join(bench_g, "gram")
     return (hits.groupBy("doc_id", "doc_grams")
