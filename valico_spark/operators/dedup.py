@@ -511,22 +511,28 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     husk). Deterministic on any engine/partitioning: the winner rule
     has no ties.
 
-    Scale shape: posexplode -> groupBy(paragraph) [one shuffle on the
-    paragraph, the natural dedup key] -> co-partitioned join back ->
-    groupBy(doc) reassembly. Nothing quadratic, no driver data.
+    Scale shape: posexplode -> ONE shuffle of the exploded rows keyed
+    on xxhash64(paragraph) [the natural dedup key, as a long], winner
+    = min (id, idx) via a window over that partition -> groupBy(doc)
+    reassembly. One corpus shuffle total: the earlier groupBy-winners +
+    join-back shape moved the paragraph strings twice. Hash collisions
+    would merge two distinct paragraphs' windows with
+    p ~ |paragraphs|^2 / 2^64 — immaterial, and the string-keyed SQL
+    oracle would catch it.
     """
     import re as _re
+
+    from pyspark.sql import Window
 
     exploded = (df.select(F.col(id_col).alias("id"),
                           F.posexplode(F.split(F.col(text_col),
                                                _re.escape(sep), -1))
                            .alias("idx", "para"))
                   .where(F.length("para") > 0))
-    winners = exploded.groupBy("para").agg(
-        F.min(F.struct("id", "idx")).alias("w"))
-    kept = (exploded.join(winners, "para")
-                    .withColumn("keep", (F.col("id") == F.col("w.id"))
-                                & (F.col("idx") == F.col("w.idx"))))
+    w = Window.partitionBy(F.xxhash64(F.col("para")))
+    kept = exploded.withColumn(
+        "keep", F.struct("id", "idx")
+        == F.min(F.struct("id", "idx")).over(w))
     per_doc = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -553,9 +559,12 @@ def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
     nothing survives of an over-frequent paragraph, and distinct counts
     are per-document (a paragraph repeated inside one doc counts once).
 
-    Returns ``(doc_id, text, n_paragraphs, n_dropped)``. Same scale
-    shape as paragraph_dedup: one paragraph-keyed shuffle for the DF
-    count, co-partitioned join back, per-doc reassembly.
+    Returns ``(doc_id, text, n_paragraphs, n_dropped)``. Scale shape:
+    the document-frequency relation is keyed on xxhash64(paragraph) —
+    the count shuffle and the join back move 8-byte longs, not the
+    paragraph strings (collision odds ~|paragraphs|^2 / 2^64,
+    string-keyed SQL oracle would catch one); the exploded side
+    co-shuffles once; per-doc reassembly.
     """
     import re as _re
 
@@ -563,11 +572,12 @@ def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
                           F.posexplode(F.split(F.col(text_col),
                                                _re.escape(sep), -1))
                            .alias("idx", "para"))
-                  .where(F.length("para") > 0))
-    freq = (exploded.select("id", "para").distinct()
-                    .groupBy("para")
+                  .where(F.length("para") > 0)
+                  .withColumn("ph", F.xxhash64(F.col("para"))))
+    freq = (exploded.select("id", "ph").distinct()
+                    .groupBy("ph")
                     .agg(F.count(F.lit(1)).alias("para_df")))
-    flagged = (exploded.join(freq, "para")
+    flagged = (exploded.join(freq, "ph")
                        .withColumn("keep", F.col("para_df") <= max_df))
     per_doc = flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),
