@@ -95,6 +95,21 @@ class TestAsofJoin:
                        3: (None, "b"), 4: (300, "c"),
                        5: (None, None)}
 
+    def test_tolerance_nulls_stale_snapshots(self, spark):
+        """merge_asof(tolerance=...) contract: a snapshot older than
+        left_ts - tolerance is treated as absent, per adopted snapshot
+        (not per newest-anywhere)."""
+        left = spark.createDataFrame(
+            [(1, "u", 12), (2, "u", 30)],
+            "event_id long, k string, t long")
+        right = spark.createDataFrame(
+            [("u", 10, 100)], "k string, t long, val int")
+        out = {r.event_id: r.val
+               for r in relational.asof_join(
+                   left, right, "k", "t", "t", ["val"],
+                   tolerance=F.lit(5)).collect()}
+        assert out == {1: 100, 2: None}  # 30-10 > 5 -> stale
+
 
 class TestRangeJoin:
     def test_bucketized_matches_inequality(self, spark):

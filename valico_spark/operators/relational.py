@@ -79,11 +79,15 @@ def referential_report(child: DataFrame, child_key, parent: DataFrame,
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
               payload_cols: list[str],
-              tolerance: None = None) -> DataFrame:
+              tolerance=None) -> DataFrame:
     """Backward as-of join: every left row gains the payload of the
     LATEST right row with the same key and ``right_ts <= left_ts``
     (NULLs when no prior right row exists) — the event-to-latest-
-    snapshot enrichment Spark has no native operator for.
+    snapshot enrichment Spark has no native operator for. With
+    ``tolerance`` (a Column-comparable duration: numeric for numeric
+    timestamps, e.g. ``F.expr("INTERVAL 1 DAY")`` for timestamps),
+    snapshots older than ``left_ts - tolerance`` are treated as absent
+    — the pandas ``merge_asof(tolerance=...)`` contract.
 
     Distributed shape — the union + running-last trick, ONE shuffle:
     both sides are union-tagged and sorted per key by (ts, side) with
@@ -106,7 +110,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     # the payload travels as ONE struct so the running-last adopts the
     # newest snapshot atomically — per-column ignorenulls fills would
     # stitch fields from DIFFERENT snapshots when some are NULL
-    r_payload = F.struct(*[F.col(c) for c in payload_cols])
+    # the snapshot ts rides inside the fill struct so a tolerance
+    # check can compare against the ADOPTED snapshot, not the newest
+    r_payload = F.struct(F.col(right_ts).alias("__rt"),
+                         *[F.col(c) for c in payload_cols])
     r = right.select(
         F.col(key).alias("__k"), F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -125,8 +132,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     w = (Window.partitionBy("__k").orderBy("__t", "__side")
                .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.select(
-        "__side", "__row",
+        "__side", "__row", "__t",
         F.last("__p", ignorenulls=True).over(w).alias("__f"))
+    if tolerance is not None:
+        fresh = F.col("__f.__rt") >= F.col("__t") - tolerance
+        filled = filled.withColumn(
+            "__f", F.when(fresh, F.col("__f")))
     return (filled.where(F.col("__side") == 1)
                   .select(*[F.col(f"__row.{c}").alias(c) for c in lcols],
                           *[F.col(f"__f.{c}").alias(c)
