@@ -406,7 +406,7 @@ _LANE_MASK = 0x0001000100010001  # one 16-bit counter per long lane
 
 
 def simhash(text: Column, bits: int = 64,
-            token_hash=None) -> Column:
+            token_hash=None, portable: bool = False) -> Column:
     """Bitwise-majority SimHash over whitespace tokens (long column).
 
     Signature bit i is set when ones of bit i over xxhash64(token) form
@@ -427,9 +427,23 @@ def simhash(text: Column, bits: int = 64,
     assert bits == 64, "packed lanes are specified for 64-bit signatures"
     lanes = bits // 4
     toks = F.slice(tokens(text), 1, 65535)
-    if token_hash is None:
-        token_hash = F.xxhash64
-    hs = F.transform(toks, lambda t: token_hash(t))
+    if portable:
+        # two-stage transform: the md5 hex materializes ONCE per token
+        # (a bound element variable), then both 32-bit halves read it.
+        # Inlining portable_token_hash64 directly would evaluate md5
+        # twice per token — HOF lambda bodies are interpreted, with no
+        # common-subexpression elimination across the duplicated
+        # subtrees (measured ~2x the md5 cost).
+        hs = F.transform(
+            F.transform(toks, lambda t: F.md5(F.encode(t, "UTF-8"))),
+            lambda hx: F.shiftleft(
+                F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(F.conv(F.substring(hx, 9, 8), 16, 10)
+                       .cast("long")))
+    else:
+        if token_hash is None:
+            token_hash = F.xxhash64
+        hs = F.transform(toks, lambda t: token_hash(t))
     zero = F.array_repeat(F.lit(0).cast("long"), lanes)
     acc = F.aggregate(
         hs, zero,
@@ -458,10 +472,9 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
     votes with :func:`portable_token_hash64` (md5-derived) so a DuckDB
     oracle recomputes every signature bit, band bucket, and hamming
     distance exactly; the default stays xxhash64 for the hot path."""
-    th = portable_token_hash64 if portable else None
     sigd = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
-        simhash(F.col(text_col), token_hash=th).alias("sig"))
+        simhash(F.col(text_col), portable=portable).alias("sig"))
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigd.select("id", "sig", F.explode(F.array(*[
