@@ -1068,6 +1068,30 @@ def q_range_join_orders_bands(spark, sf_dir):
     return out.select("o_orderkey", "band_id", "o_totalprice")
 
 
+def q_overlap_join_orders(spark, sf_dir):
+    """Interval x interval overlap self-join
+    (operators/relational.interval_overlap_join): pairs of orders by
+    the SAME customer whose 7-day fulfillment windows overlap.
+    Bucketized with the canonical-bucket trick — each pair is emitted
+    exactly once with NO dedup shuffle (a pair co-occurs in every
+    shared bucket; only the floor(greatest(lo_a, lo_b)/W) copy
+    survives). Oracle = the plain inequality self-join, so bucket
+    replication, canonical emission, and half-open boundary semantics
+    are all verified row-for-row."""
+    from valico_spark.operators.relational import interval_overlap_join
+
+    o = (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey",
+                 F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                  .cast("double").alias("lo"))
+         .withColumn("hi", F.col("lo") + F.lit(7 * 86400.0)))
+    out = interval_overlap_join(o, o, "lo", "hi", "lo", "hi",
+                                bucket_width=4 * 86400.0,
+                                key="o_custkey")
+    return (out.where(F.col("o_orderkey") < F.col("o_orderkey_r"))
+               .select("o_custkey", "o_orderkey", "o_orderkey_r"))
+
+
 def q_infer_ruleset_docs(spark, sf_dir):
     """Schema inference -> ruleset (operators/infer.infer_ruleset): one
     combined aggregation pass suggests a draft-07 object schema for the
@@ -1166,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_streaks_events": q_stream_streaks_events,
         "asof_join_events_orders": q_asof_join_events_orders,
         "range_join_orders_bands": q_range_join_orders_bands,
+        "overlap_join_orders": q_overlap_join_orders,
         "infer_ruleset_docs": q_infer_ruleset_docs,
     }
 
@@ -2682,6 +2707,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, b.band_id, o.o_totalprice
             FROM orders o JOIN bands b
               ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        """,
+        # plain inequality self-join: the canonical-bucket plan must
+        # reproduce it exactly once per pair
+        "overlap_join_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     epoch(o_orderdate)::DOUBLE AS lo,
+                     epoch(o_orderdate)::DOUBLE + 604800.0 AS hi
+              FROM orders
+            )
+            SELECT a.o_custkey, a.o_orderkey,
+                   b.o_orderkey AS o_orderkey_r
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.lo < b.hi AND b.lo < a.hi
         """,
         "infer_ruleset_docs": """
             WITH s AS (

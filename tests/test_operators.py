@@ -137,6 +137,30 @@ class TestRangeJoin:
                       for iid, lo, hi in ivs if lo <= p < hi)
         assert got == want and len(got) > 0
 
+    def test_interval_overlap_exactly_once(self, spark):
+        """Self overlap join == brute force, each pair EXACTLY once
+        (canonical-bucket emission, no distinct), key-partitioned,
+        half-open boundaries (touching intervals don't overlap)."""
+        ivs = [(1, "u", 0.0, 10.0), (2, "u", 5.0, 50.0),
+               (3, "u", 10.0, 20.0),   # touches #1 -> NOT overlapping
+               (4, "u", 0.0, 100.0),   # spans many buckets
+               (5, "v", 0.0, 100.0)]   # other key: never pairs with u
+        df = spark.createDataFrame(
+            ivs, "iid long, k string, lo double, hi double")
+        out = relational.interval_overlap_join(
+            df, df, "lo", "hi", "lo", "hi",
+            bucket_width=7.0, key="k")
+        got = sorted((r.iid, r.iid_r) for r in out.collect()
+                     if r.iid < r.iid_r)
+        want = sorted((a, b)
+                      for i, (a, ka, alo, ahi) in enumerate(ivs)
+                      for b, kb, blo, bhi in ivs[i + 1:]
+                      if ka == kb and alo < bhi and blo < ahi)
+        assert got == want
+        # exactly-once: no pair appears twice even pre-filter
+        all_pairs = [(r.iid, r.iid_r) for r in out.collect()]
+        assert len(all_pairs) == len(set(all_pairs))
+
 
 class TestDrift:
     def test_chi_square_same_distribution(self, spark, media_df):

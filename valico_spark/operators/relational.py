@@ -175,3 +175,53 @@ def range_join(left: DataFrame, right: DataFrame,
              .where((F.col(left_point) >= F.col(right_lo))
                     & (F.col(left_point) < F.col(right_hi)))
              .drop("__b"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          left_lo: str, left_hi: str,
+                          right_lo: str, right_hi: str,
+                          bucket_width: float,
+                          key: str | None = None,
+                          suffix: str = "_r") -> DataFrame:
+    """Interval x interval overlap join (half-open: ``a.lo < b.hi AND
+    b.lo < a.hi``) without a nested loop: both sides replicate their
+    intervals across ``floor(lo/W) .. floor(hi/W)`` buckets and
+    equi-join on (key?, bucket).
+
+    Exactly-once without a dedup shuffle: an overlapping pair co-occurs
+    in every bucket both intervals span, so each joined row also checks
+    ``bucket == floor(greatest(a.lo, b.lo) / W)`` — the CANONICAL
+    bucket, computable from the pair itself — and survives exactly
+    once. (The canonical bucket is always shared: greatest(a.lo, b.lo)
+    lies inside both intervals when they overlap.)
+
+    Scale shape: one hash shuffle on (key, bucket); replication factor
+    = span / W per side. Right-side columns are suffixed on collision.
+    """
+    def bucketed(df, lo, hi, tag):
+        lo_b = F.floor(F.col(lo) / F.lit(bucket_width)).cast("long")
+        hi_b = F.floor(F.col(hi) / F.lit(bucket_width)).cast("long")
+        return df.withColumn("__b", F.explode(F.sequence(lo_b, hi_b)))
+
+    l = bucketed(left, left_lo, left_hi, "l").withColumnRenamed(
+        "__b", "__bl")
+    rcols = {c: (c if c not in left.columns else c + suffix)
+             for c in right.columns}
+    r = bucketed(right, right_lo, right_hi, "r").select(
+        F.col("__b").alias("__br"),
+        *[F.col(c).alias(n) for c, n in rcols.items()])
+    # key stays INSIDE the equi-join condition (hash keys = key+bucket):
+    # filtering it after a bucket-only join would pair every interval in
+    # a bucket across all keys first — bucket-wide quadratic
+    cond = F.col("__bl") == F.col("__br")
+    if key:
+        cond = cond & (F.col(key) == F.col(rcols[key]))
+    j = l.join(r, cond).withColumnRenamed("__bl", "__b").drop("__br")
+    a_lo, a_hi = F.col(left_lo), F.col(left_hi)
+    b_lo = F.col(rcols[right_lo])
+    b_hi = F.col(rcols[right_hi])
+    canonical = F.floor(F.greatest(a_lo, b_lo) / F.lit(bucket_width)) \
+                 .cast("long")
+    return (j.where((a_lo < b_hi) & (b_lo < a_hi)
+                    & (F.col("__b") == canonical))
+             .drop("__b"))
