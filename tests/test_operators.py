@@ -161,6 +161,59 @@ class TestRangeJoin:
         all_pairs = [(r.iid, r.iid_r) for r in out.collect()]
         assert len(all_pairs) == len(set(all_pairs))
 
+    def test_randomized_join_parity(self, spark):
+        """Seeded random instances vs brute force for all three
+        relational additions (asof, range, overlap) — random interval
+        widths, bucket widths, duplicate timestamps, multiple keys."""
+        import random
+
+        for seed in (11, 29, 47):
+            rnd = random.Random(seed)
+            keys = ["a", "b", "c"]
+            evs = [(i, rnd.choice(keys), float(rnd.randrange(0, 100)))
+                   for i in range(40)]
+            # snapshots: unique (key, t) by construction
+            snaps = [(k, float(t), rnd.randrange(1, 999))
+                     for k in keys
+                     for t in rnd.sample(range(0, 100), 12)]
+            w = rnd.choice([3.0, 7.0, 13.0])
+
+            ldf = spark.createDataFrame(evs, "eid long, k string, t double")
+            rdf = spark.createDataFrame(snaps,
+                                        "k string, t double, val long")
+            got = {r.eid: r.val for r in relational.asof_join(
+                ldf, rdf, "k", "t", "t", ["val"]).collect()}
+            want = {}
+            for eid, k, t in evs:
+                prior = [(st, v) for sk, st, v in snaps
+                         if sk == k and st <= t]
+                want[eid] = max(prior)[1] if prior else None
+            assert got == want, f"asof seed={seed}"
+
+            ivs = [(j, rnd.choice(keys),
+                    float(rnd.randrange(0, 90)))
+                   for j in range(25)]
+            ivs = [(j, k, lo, lo + rnd.randrange(1, 40))
+                   for j, k, lo in ivs]
+            idf = spark.createDataFrame(
+                ivs, "iid long, k string, lo double, hi double")
+            got_r = sorted((r.eid, r.iid) for r in relational.range_join(
+                ldf, idf, "t", "lo", "hi", bucket_width=w).collect())
+            want_r = sorted((eid, j) for eid, _, t in evs
+                            for j, _, lo, hi in ivs if lo <= t < hi)
+            assert got_r == want_r, f"range seed={seed}"
+
+            got_o = sorted((r.iid, r.iid_r)
+                           for r in relational.interval_overlap_join(
+                               idf, idf, "lo", "hi", "lo", "hi",
+                               bucket_width=w, key="k").collect()
+                           if r.iid < r.iid_r)
+            want_o = sorted((a, b)
+                            for x, (a, ka, alo, ahi) in enumerate(ivs)
+                            for b, kb, blo, bhi in ivs[x + 1:]
+                            if ka == kb and alo < bhi and blo < ahi)
+            assert got_o == want_o, f"overlap seed={seed}"
+
 
 class TestDrift:
     def test_chi_square_same_distribution(self, spark, media_df):
