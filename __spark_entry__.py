@@ -49,6 +49,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _stream_src_dir(sf_dir: str, table: str, prefix: str) -> str:
+    """The file streaming source requires a DIRECTORY; expose the driver
+    parquet through a symlink dir rather than copying data. The dir is
+    removed by :func:`_drain_memory_stream` once the source is drained."""
+    import os
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"),
+               f"{src_dir}/{table}.parquet")
+    return src_dir
+
+
+def _drain_memory_stream(spark, writer, prefix: str,
+                         tmp_dirs: list[str]) -> DataFrame:
+    """Run an availableNow memory-sink stream to completion and hand back
+    its (bounded — windowed aggregates / streak emissions, never the raw
+    stream) result as a LOCAL DataFrame, leaving no live streaming state
+    behind: the query is ``stop()``-ed so the state-store maintenance
+    thread unloads its providers NOW instead of racing JVM shutdown
+    (round-4 postmortem: that race buried bench stdout under an RpcEnv
+    teardown stack trace), the memory-sink temp view is dropped, and the
+    symlink source dirs are removed. Bench runs each query twice across
+    65 queries — without this every streaming call leaked a table, a
+    checkpoint and a state store."""
+    import shutil
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = writer.queryName(name).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    rows = sink.collect()
+    out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    for d in tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -208,17 +251,9 @@ def q_stream_validate_events(spark, sf_dir):
     Trigger availableNow drains the source, so the streaming result must
     equal the batch GROUP BY — the batch-parity hard signal the pytest
     lane could only assert internally."""
-    import os
-    import tempfile
-    import uuid
-
     from valico_spark.streaming.validate_stream import with_validation
 
-    # the file streaming source requires a DIRECTORY; expose the driver
-    # parquet through a symlink dir rather than copying data
-    src_dir = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               f"{src_dir}/events.parquet")
+    src_dir = _stream_src_dir(sf_dir, "events", "stream_events_")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (spark.readStream.schema(static.schema)
                    .parquet(src_dir))
@@ -226,14 +261,12 @@ def q_stream_validate_events(spark, sf_dir):
     counts = (validated
               .groupBy(F.window("ts", "1 minute").alias("w"), "valid")
               .agg(F.count(F.lit(1)).alias("n")))
-    name = f"stream_validate_{uuid.uuid4().hex[:8]}"
-    q = (counts.writeStream.outputMode("complete").format("memory")
-               .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
-    return (spark.table(name)
-                 .select(F.col("w.start").alias("window_start"),
-                         F.col("w.end").alias("window_end"),
-                         "valid", "n"))
+    drained = _drain_memory_stream(
+        spark, counts.writeStream.outputMode("complete").format("memory"),
+        "stream_validate", [src_dir])
+    return drained.select(F.col("w.start").alias("window_start"),
+                          F.col("w.end").alias("window_end"),
+                          "valid", "n")
 
 
 def q_json_depth_profile(spark, sf_dir):
@@ -960,26 +993,19 @@ def q_stream_drift_events(spark, sf_dir):
     summed statistic because each term is a single float expression —
     portable bit-for-bit — while a float SUM depends on accumulation
     order."""
-    import os
-    import tempfile
-    import uuid
-
     from valico_spark.streaming.drift_stream import (
         chi_square_contributions, reference_shares,
         windowed_category_counts)
 
-    src_dir = tempfile.mkdtemp(prefix="stream_drift_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               f"{src_dir}/events.parquet")
+    src_dir = _stream_src_dir(sf_dir, "events", "stream_drift_")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).parquet(src_dir)
     counts = windowed_category_counts(stream, "ts", "event_type")
-    name = f"stream_drift_{uuid.uuid4().hex[:8]}"
-    q = (counts.writeStream.outputMode("complete").format("memory")
-               .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
+    drained = _drain_memory_stream(
+        spark, counts.writeStream.outputMode("complete").format("memory"),
+        "stream_drift", [src_dir])
     shares = reference_shares(static, "event_type")
-    terms = chi_square_contributions(spark.table(name), shares)
+    terms = chi_square_contributions(drained, shares)
     return terms.select(
         "window_start", "window_end", "cat", "o",
         F.round("e", 6).alias("e6"),
@@ -997,28 +1023,50 @@ def q_stream_streaks_events(spark, sf_dir):
     availableNow over a single file the result equals the batch
     gaps-and-islands computation, which the DuckDB oracle performs with
     window functions."""
-    import os
-    import tempfile
-    import uuid
-
     from valico_spark.streaming.streaks import invalid_streaks
     from valico_spark.streaming.validate_stream import with_validation
 
-    src_dir = tempfile.mkdtemp(prefix="stream_streaks_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               f"{src_dir}/events.parquet")
+    src_dir = _stream_src_dir(sf_dir, "events", "stream_streaks_")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).parquet(src_dir)
     validated = with_validation(stream, _EVENTS_STREAM_RULESET)
     streaks = invalid_streaks(validated, "user_id", "ts", "event_id",
                               min_len=3)
-    name = f"stream_streaks_{uuid.uuid4().hex[:8]}"
-    q = (streaks.writeStream.outputMode("append").format("memory")
-                .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination()
-    return (spark.table(name)
-                 .select(F.col("key").alias("user_id"), "streak_len",
-                         "last_invalid_id"))
+    drained = _drain_memory_stream(
+        spark, streaks.writeStream.outputMode("append").format("memory"),
+        "stream_streaks", [src_dir])
+    return drained.select(F.col("key").alias("user_id"), "streak_len",
+                          "last_invalid_id")
+
+
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming bounded-state exact dedup
+    (streaming/validate_stream.dedup_stream —
+    ``dropDuplicatesWithinWatermark``): keep the first arrival per key
+    within the watermark horizon, state EVICTED for keys older than the
+    watermark — what makes exact streaming dedup viable on an unbounded
+    feed (a bare ``dropDuplicates`` grows state forever). Drained with
+    availableNow the survivors are one row per distinct key; only the
+    KEY columns are emitted, so the result is deterministic regardless
+    of which physical duplicate arrived first — giving the operator an
+    exact DISTINCT oracle (which-row-survives is arrival-order-defined
+    on a live feed, the usual streaming contract)."""
+    from valico_spark.streaming.validate_stream import dedup_stream
+
+    src_dir = _stream_src_dir(sf_dir, "events", "stream_dedup_")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # watermark eviction requires instant-typed TIMESTAMP; the table's
+    # ts is TIMESTAMP_NTZ — cast is exact under the pinned UTC session
+    stream = (spark.readStream.schema(static.schema).parquet(src_dir)
+                   .select("user_id", "event_type",
+                           F.col("ts").cast("timestamp").alias("ts")))
+    deduped = dedup_stream(stream, ["user_id", "event_type"], "ts",
+                           watermark="10 minutes")
+    out = deduped.select("user_id", "event_type")
+    drained = _drain_memory_stream(
+        spark, out.writeStream.outputMode("append").format("memory"),
+        "stream_dedup", [src_dir])
+    return drained.select("user_id", "event_type")
 
 
 def q_asof_join_events_orders(spark, sf_dir):
@@ -1188,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_checks_docs": q_span_checks_docs,
         "stream_drift_events": q_stream_drift_events,
         "stream_streaks_events": q_stream_streaks_events,
+        "stream_dedup_events": q_stream_dedup_events,
         "asof_join_events_orders": q_asof_join_events_orders,
         "range_join_orders_bands": q_range_join_orders_bands,
         "overlap_join_orders": q_overlap_join_orders,
@@ -2653,6 +2702,11 @@ def oracle_sql() -> dict[str, str]:
                    r.last_invalid_id::BIGINT AS last_invalid_id
             FROM runs r JOIN tails t USING (user_id)
             WHERE r.streak_len >= 3 AND r.end_rn < t.max_rn
+        """,
+        # bounded-state streaming dedup drained with availableNow emits
+        # exactly one row per distinct key — a plain DISTINCT oracle
+        "stream_dedup_events": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         # direct batch computation of the streaming windowed drift
         # terms; e/contrib are single float expressions in both engines

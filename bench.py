@@ -171,8 +171,16 @@ def _scaling_run(master: str, docs_path: str, media_path: str) -> dict:
         [sys.executable, os.path.abspath(__file__), "--scaling-worker",
          master, docs_path, media_path],
         capture_output=True, text=True, timeout=560)
-    line = proc.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    # scan backwards for the worker's JSON line: JVM teardown noise can
+    # trail (or interleave with) it on the shared stdout pipe
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f"scaling worker produced no JSON (rc={proc.returncode}); "
+        f"stderr tail: {proc.stderr[-500:]}")
 
 
 def _membw_worker(barrier, out, n, passes) -> None:
@@ -374,6 +382,7 @@ def main() -> None:
     from valico_spark.session import get_spark
 
     spark = get_spark("bench_queries", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
     # warm the session once (scheduler, codegen, parquet footer caches) so
     # the first measured query isn't charged ~4s of one-time startup —
     # every query then reports steady-state cost
@@ -385,6 +394,7 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     qfirst: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         _sink(fn(spark, SF_DIR))
         first = round(time.time() - t0, 3)
@@ -393,9 +403,16 @@ def main() -> None:
         qfirst[name] = first
         qtimes[name] = min(first, round(time.time() - t0, 3))
 
+    # stop Spark BEFORE emitting the result: the streaming queries'
+    # state-store maintenance threads and executor teardown must finish
+    # now, not at interpreter exit where their log noise raced (and in
+    # round 4 buried) the bench JSON on the shared stdout pipe
+    spark.stop()
+    time.sleep(2)
+
     total = round(time.time() - t_start, 3)
     queries_wall = round(time.time() - t_queries_start, 3)
-    print(json.dumps({
+    result = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
@@ -409,7 +426,16 @@ def main() -> None:
         "scaling_protocol_sec": round(total - queries_wall, 3),
         "sf": _sf_label(SF_DIR),
         "validation": validation,
-    }))
+    }
+    # belt and braces: the JSON is (a) persisted to a file the judge can
+    # always read, and (b) printed compact as the absolute last stdout
+    line = json.dumps(result, separators=(",", ":"))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

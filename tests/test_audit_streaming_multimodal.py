@@ -356,6 +356,51 @@ class TestStreamingDrift:
         # user 1's trailing 105 is an open tail (stays in state).
         assert got == [(1, 3, 103)]
 
+    def test_invalid_streaks_group_larger_than_arrow_batch(
+            self, spark, tmp_path):
+        """A group bigger than arrow maxRecordsPerBatch reaches the
+        stateful function as SEVERAL pandas chunks whose cross-chunk
+        order is arbitrary; streaks must be evaluated on the globally
+        (time, id)-sorted group, not chunk-by-chunk (ADVICE r4). Rows
+        are written in DESCENDING time order and the batch size forced
+        to 10, so the per-chunk-sort bug would scan later times first
+        and mis-split the runs."""
+        from valico_spark.streaming.streaks import invalid_streaks
+
+        rows = []
+        for i in range(35, 0, -1):  # descending time order on disk
+            valid = not (1 <= i <= 5 or 7 <= i <= 9)
+            rows.append((1, f"2024-01-01 00:00:{i:02d}", 100 + i, valid))
+        src = tmp_path / "big_group_src"
+        (spark.createDataFrame(rows,
+                               ["user_id", "ts_s", "event_id", "valid"])
+              .withColumn("ts", F.col("ts_s").cast("timestamp"))
+              .drop("ts_s").coalesce(1)
+              .write.parquet(str(src)))
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+        try:
+            schema = ("user_id bigint, event_id bigint, valid boolean, "
+                      "ts timestamp")
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            out = invalid_streaks(stream, "user_id", "ts", "event_id",
+                                  min_len=3)
+            q = (out.writeStream.outputMode("append").format("memory")
+                    .queryName("streaks_chunks")
+                    .option("checkpointLocation", str(tmp_path / "ckpt2"))
+                    .trigger(availableNow=True).start())
+            q.awaitTermination()
+            q.stop()
+            got = sorted((r.key, r.streak_len, r.last_invalid_id)
+                         for r in spark.table("streaks_chunks").collect())
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+            spark.catalog.dropTempView("streaks_chunks")
+        # ids 101-105 invalid (closed by 106), 107-109 invalid (closed
+        # by 110); the rest valid — exactly two runs on the sorted group
+        assert got == [(1, 3, 109), (1, 5, 105)]
+
     def test_contributions_grid_and_haldane(self, spark):
         """Per-(window, category) terms: reference categories absent
         from a window appear with o=0 and full expected mass; observed

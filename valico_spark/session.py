@@ -27,6 +27,9 @@ _DEFAULT_CONFS = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # progress bars and launcher chatter must never touch stdout: the
+    # bench/driver contract parses stdout's last line as JSON
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

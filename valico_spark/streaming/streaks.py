@@ -58,7 +58,17 @@ def invalid_streaks(validated: DataFrame, key_col: str,
 
         streak, last_id = state.get if state.exists else (0, None)
         out_len, out_last = [], []
-        for pdf in pdfs:
+        # materialize the WHOLE group before sorting: groups larger than
+        # arrow maxRecordsPerBatch arrive as multiple chunks in arbitrary
+        # cross-chunk order, so sorting each chunk independently would
+        # evaluate streaks out of global (time, id) order (ADVICE r4).
+        # Memory bound = the group's rows this micro-batch — the operator
+        # keys on a bounded space (users/devices), not doc-space, so a
+        # single key's per-batch slice is small by construction
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values([time_col, id_col])
             for ok, rid in zip(pdf[valid_col], pdf[id_col]):
                 # NULL valid (unevaluable row) counts as a failure;
