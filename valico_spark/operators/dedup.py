@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from valico_spark.operators.util import ensure_min_partitions
+from valico_spark.operators.util import cap_group_size, ensure_min_partitions
 
 #: modulus of the MinHash permutation family. MUST be small relative to
 #: a*h (a, h < 2^31 → a*h ~ 2^62): with a 31-bit prime the product wraps
@@ -65,6 +65,43 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
                       F.count(F.lit(1)).alias("group_size")))
     return (df.join(grouped, on=content_cols)
               .select(F.col(id_col), "canonical_id", "group_size"))
+
+
+def collapse_exact(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") \
+        -> tuple[DataFrame, DataFrame]:
+    """Pre-collapse EXACT duplicates before a banded/blocked near-dup
+    pipeline — the defense against mega-buckets. On a web corpus the
+    dominant duplicate class is byte-identical pages at 10^3-10^6
+    copies; every copy lands in every band bucket of every LSH table,
+    so feeding them to a banded join yields O(copies^2) candidate pairs
+    per bucket. Collapsing first makes the banded stage see ONE row per
+    distinct text; the group's members re-attach afterward as LINEAR
+    rep->member edges (never the quadratic within-group expansion —
+    downstream connected-components closes the transitivity anyway).
+
+    Returns ``(reps, dup_edges)``: ``reps`` = one ``(id, text)`` row per
+    distinct text (min-id winner, deterministic), ``dup_edges`` =
+    ``(a_id, b_id)`` with a_id = the representative, one edge per
+    non-representative member.
+
+    Scale shape: ONE corpus shuffle — a window over ``text_col``
+    partitions (min-id per identical text); no join-back. Keying the
+    window on the raw text keeps the operator exact (a hash key would
+    merge colliding texts); the shuffle moves each text once, same
+    volume as the banded pipeline's own signature stage reads.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col)
+    tagged = (df.select(F.col(id_col), F.col(text_col))
+                .withColumn("__rep", F.min(id_col).over(w)))
+    reps = (tagged.where(F.col(id_col) == F.col("__rep"))
+                  .select(id_col, text_col))
+    dup_edges = (tagged.where(F.col(id_col) != F.col("__rep"))
+                       .select(F.col("__rep").alias("a_id"),
+                               F.col(id_col).alias("b_id")))
+    return reps, dup_edges
 
 
 def char_shingles(text: Column, n: int = 3) -> Column:
@@ -176,7 +213,8 @@ def word_shingles(text: Column, w: int = 3) -> Column:
 
 def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         precollapse_exact: bool = False) -> DataFrame:
     """ALL pairs with exact word-shingle Jaccard >= threshold via prefix
     filtering (PPJoin-style) — no blocking, no recall loss.
 
@@ -197,8 +235,22 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
     candidate groups. ``ceil(threshold * size)`` is evaluated in IEEE
     double arithmetic identically by Spark and DuckDB, so the oracle
     can mirror the prefix length bit-for-bit.
+
+    Exact-duplicate clusters defeat the frequency ordering (all copies
+    share every shingle, so even the group's "rarest" gram has df >=
+    copies and the prefix join goes quadratic inside the cluster);
+    ``precollapse_exact=True`` collapses them to one representative
+    first and re-attaches members as linear (rep, member, jaccard=1.0)
+    edges — the 100-TB posture for this operator.
     """
     from pyspark.sql import Window
+
+    if precollapse_exact:
+        reps, dup_edges = collapse_exact(df, id_col, text_col)
+        near = jaccard_pairs_prefix(reps, threshold, w, id_col, text_col,
+                                    precollapse_exact=False)
+        return near.unionByName(
+            dup_edges.withColumn("jaccard", F.lit(1.0)))
 
     # shingles hash to int64 IMMEDIATELY: every downstream shuffle
     # (frequency count, prefix join, verify join) then moves 8-byte
@@ -324,13 +376,24 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
                            bands: int = 8, n: int = 5, seed: int = 17,
                            id_col: str = "doc_id",
                            text_col: str = "text",
-                           portable: bool = False) -> DataFrame:
+                           portable: bool = False,
+                           max_bucket_size: int | None = 10_000
+                           ) -> DataFrame:
     """Candidate duplicate pairs: docs sharing ≥1 MinHash band bucket.
 
     rows-per-band = num_hashes // bands; the (band, bucket-hash) groupBy
     is the only wide stage. Distinct pairs are emitted with a_id < b_id.
     ``portable=True`` uses md5-derived base hashes and the fold bucket so
     the whole candidate set is reproducible in DuckDB SQL.
+
+    Hot-bucket guard: a band bucket with c members emits c^2/2 pairs —
+    at web scale exact-duplicate clusters (which share EVERY bucket)
+    make single buckets of 10^4+ docs, the silent 100x job-killer. The
+    plan asserts every (band, bucket) group ≤ ``max_bucket_size`` (a
+    window count under the join's own hash partitioning — no extra
+    corpus exchange) and FAILS LOUDLY pointing at the fix:
+    :func:`collapse_exact` first (``precollapse_exact=True`` on the
+    pipeline entry points). ``None`` disables the rail.
     """
     rows = num_hashes // bands
     # two-step projection: base hashes materialize once, then the K-way
@@ -353,6 +416,12 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
             for i in range(bands)])).alias("bb")) \
         .select("id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        banded = cap_group_size(
+            banded, ["band", "bucket"], max_bucket_size,
+            "minhash_lsh_candidates",
+            "pre-collapse exact duplicates first (collapse_exact / "
+            "precollapse_exact=True) or raise max_bucket_size")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, ["band", "bucket"])
@@ -367,7 +436,9 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                   num_hashes: int = 32, bands: int = 8, n: int = 5,
                   seed: int = 17, id_col: str = "doc_id",
                   text_col: str = "text",
-                  portable: bool = False) -> DataFrame:
+                  portable: bool = False,
+                  max_bucket_size: int | None = 10_000,
+                  precollapse_exact: bool = False) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard.
 
     Scale shape: the corpus-sized shingle table is never broadcast.
@@ -376,10 +447,27 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
     the corpus), then joined to the pair table with plain shuffle joins
     keyed on the doc id — AQE may still choose a runtime broadcast, but
     only when the *filtered* side measures small.
+
+    ``precollapse_exact=True`` is the 100-TB default posture: exact
+    duplicates collapse to one representative BEFORE banding
+    (:func:`collapse_exact`), so byte-identical clusters cannot form
+    mega-buckets; each collapsed member returns as a linear
+    (rep, member, jaccard=1.0) edge unioned onto the near-dup pairs —
+    cross-group near-duplicates are represented at rep level and
+    connected-components closes the transitivity.
     """
+    if precollapse_exact:
+        reps, dup_edges = collapse_exact(df, id_col, text_col)
+        near = minhash_dedup(reps, jaccard_threshold, num_hashes, bands,
+                             n, seed, id_col, text_col, portable=portable,
+                             max_bucket_size=max_bucket_size,
+                             precollapse_exact=False)
+        return near.unionByName(
+            dup_edges.withColumn("jaccard", F.lit(1.0)))
     cand = ensure_min_partitions(
         minhash_lsh_candidates(df, num_hashes, bands, n, seed,
-                               id_col, text_col, portable=portable))
+                               id_col, text_col, portable=portable,
+                               max_bucket_size=max_bucket_size))
     sh = ensure_min_partitions(df).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
@@ -466,12 +554,30 @@ def simhash(text: Column, bits: int = 64,
 def simhash_candidates(df: DataFrame, band_bits: int = 16,
                        id_col: str = "doc_id",
                        text_col: str = "text",
-                       portable: bool = False) -> DataFrame:
+                       portable: bool = False,
+                       max_bucket_size: int | None = 10_000,
+                       precollapse_exact: bool = False) -> DataFrame:
     """Near-dup candidates: equal SimHash bands (4×16-bit blocking — any
     pair within hamming distance 3 shares ≥1 band). ``portable=True``
     votes with :func:`portable_token_hash64` (md5-derived) so a DuckDB
     oracle recomputes every signature bit, band bucket, and hamming
-    distance exactly; the default stays xxhash64 for the hot path."""
+    distance exactly; the default stays xxhash64 for the hot path.
+
+    Identical texts share the whole 64-bit signature, hence every band
+    bucket — the same mega-bucket exposure as MinHash banding, with the
+    same two rails: the (band, bucket) group-size plan-assert
+    (``max_bucket_size``; window count under the join's own hash
+    partitioning) and ``precollapse_exact=True``, which bands one
+    representative per distinct text and re-attaches members as linear
+    (rep, member, hamming=0) edges."""
+    if precollapse_exact:
+        reps, dup_edges = collapse_exact(df, id_col, text_col)
+        near = simhash_candidates(reps, band_bits, id_col, text_col,
+                                  portable=portable,
+                                  max_bucket_size=max_bucket_size,
+                                  precollapse_exact=False)
+        return near.unionByName(
+            dup_edges.withColumn("hamming", F.lit(0)))
     sigd = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), portable=portable).alias("sig"))
@@ -484,6 +590,12 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
         for i in range(nbands)])).alias("bb")) \
         .select("id", "sig", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        banded = cap_group_size(
+            banded, ["band", "bucket"], max_bucket_size,
+            "simhash_candidates",
+            "pre-collapse exact duplicates first (collapse_exact / "
+            "precollapse_exact=True) or raise max_bucket_size")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, ["band", "bucket"])
               .where(F.col("l.id") < F.col("r.id"))

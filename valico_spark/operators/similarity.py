@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from valico_spark.operators.util import ensure_min_partitions
+from valico_spark.operators.util import cap_group_size, ensure_min_partitions
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -73,7 +73,8 @@ def all_pairs_above(df: DataFrame, threshold: float,
                     block_col: str | None = None,
                     block_bits: int | None = None,
                     dim: int | None = None, seed: int = 7,
-                    allow_quadratic: bool = False) -> DataFrame:
+                    allow_quadratic: bool = False,
+                    max_block_size: int | None = 100_000) -> DataFrame:
     """All (a,b) pairs with cosine ≥ threshold, a.id < b.id.
 
     ``block_col`` restricts comparisons to equal blocking keys (e.g. an
@@ -87,6 +88,12 @@ def all_pairs_above(df: DataFrame, threshold: float,
     collisions of true pairs — near-dups (cosine >= 0.9) agree per bit
     with p ~ 0.9, so 8 bits keeps ~43%% per table; callers needing higher
     recall union several seeds.
+
+    Hot-block guard: a block of c vectors joins into c^2/2 pairs, and on
+    real corpora one skewed block (an exact-duplicate embedding cluster,
+    a degenerate label) is the 100x job-killer. Blocks are plan-asserted
+    to ``max_block_size`` rows (window count under the join's own hash
+    partitioning — no extra exchange); ``None`` disables the rail.
     """
     df = ensure_min_partitions(df)
     if block_col is None and block_bits is None and not allow_quadratic:
@@ -101,6 +108,12 @@ def all_pairs_above(df: DataFrame, threshold: float,
         df = df.withColumn("__srp_blk",
                            srp_bucket(F.col(vec_col), planes))
         block_col = "__srp_blk"
+    if block_col is not None and max_block_size is not None:
+        df = cap_group_size(
+            df, [block_col], max_block_size, "all_pairs_above",
+            "split the block key finer (more centroids / more block "
+            "bits), pre-collapse duplicate vectors, or raise "
+            "max_block_size")
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
                   norm(F.col(vec_col)).alias("a_nrm"),
@@ -371,10 +384,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
-                   n_centroids: int = 16, sample_size: int = 4096,
+                   n_centroids: int | None = None,
+                   sample_size: int = 4096,
                    seed: int = 7, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   centroids: "np.ndarray | None" = None) -> DataFrame:
+                   centroids: "np.ndarray | None" = None,
+                   max_cell_size: int | None = 100_000) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings into
     coarse cells, then drop every vector with a lower-id near-duplicate
     (cosine >= threshold) in its cell.
@@ -395,8 +410,23 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
 
     Pass precomputed ``centroids`` (train once offline, reuse) to skip
     the sampling job and make runs engine-reproducible.
+
+    ``n_centroids`` defaults to the SemDeDup-style ~sqrt(corpus) rule
+    (floored at 16, capped so k-means still has >= 4 sample vectors per
+    centroid) — a fixed small constant keeps cells ~N/k and goes
+    quadratic at 100x. The derivation costs one metadata-cheap count;
+    pass an explicit value (or ``centroids``) to skip it. Cells are
+    additionally plan-asserted to ``max_cell_size`` rows via
+    :func:`all_pairs_above`'s hot-block guard, so a skewed corpus that
+    defeats the coarse clustering fails loudly instead of silently
+    squaring inside one cell.
     """
     if centroids is None:
+        if n_centroids is None:
+            import math
+            n = df.count()
+            n_centroids = max(16, min(int(math.isqrt(max(n, 0))),
+                                      max(sample_size // 4, 16)))
         centroids = _sample_centroids(df, id_col, vec_col,
                                       sample_size, n_centroids, seed)
         if centroids is None:  # empty corpus: nothing to drop
@@ -414,7 +444,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                      (F.array_position(scores, F.array_max(scores)) - 1)
                      .cast("int").alias("cell")))
     pairs = all_pairs_above(cells, threshold, id_col="vid",
-                            vec_col="vec", block_col="cell")
+                            vec_col="vec", block_col="cell",
+                            max_block_size=max_cell_size)
     cell_of = cells.select(F.col("vid").alias("b_id"), "cell")
     return (pairs.groupBy("b_id")
                  .agg(F.min("a_id").alias("kept_id"),
