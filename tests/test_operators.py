@@ -137,6 +137,19 @@ class TestRangeJoin:
                       for iid, lo, hi in ivs if lo <= p < hi)
         assert got == want and len(got) > 0
 
+    def test_range_join_refuses_outer(self, spark):
+        """The residual inequality filter would silently drop an outer
+        join's null-extended rows (degenerating it to inner), so any
+        non-inner `how` is refused loudly (ADVICE r4)."""
+        import pytest as _p
+
+        pts = spark.createDataFrame([(1, 1.0)], "pid long, p double")
+        iv = spark.createDataFrame([(1, 0.0, 2.0)],
+                                   "iid long, lo double, hi double")
+        with _p.raises(ValueError, match="how='inner' only"):
+            relational.range_join(pts, iv, "p", "lo", "hi",
+                                  bucket_width=1.0, how="left")
+
     def test_interval_overlap_exactly_once(self, spark):
         """Self overlap join == brute force, each pair EXACTLY once
         (canonical-bucket emission, no distinct), key-partitioned,

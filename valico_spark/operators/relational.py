@@ -164,7 +164,18 @@ def range_join(left: DataFrame, right: DataFrame,
     Scale shape: one hash shuffle on (key, bucket); replication factor
     = interval span / W, so ``bucket_width`` trades shuffle volume
     against bucket selectivity. Nothing quadratic, no nested loop.
+
+    Only ``how='inner'`` is supported: the residual ``lo <= p < hi``
+    predicate is applied as a post-join filter, which would silently
+    drop the null-extended rows of any outer join and degenerate it to
+    inner — refused loudly rather than mis-answered (ADVICE r4).
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only: the residual "
+            "point-in-interval filter runs after the bucket equi-join "
+            "and would drop an outer join's null-extended rows "
+            f"(got how={how!r})")
     point_b = F.floor(F.col(left_point) / F.lit(bucket_width))
     l = left.withColumn("__b", point_b.cast("long"))
     lo_b = F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long")
