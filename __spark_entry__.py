@@ -461,6 +461,27 @@ def q_dedup_minhash_candidates(spark, sf_dir):
                                portable=True)
 
 
+def q_dedup_minhash_collapsed(spark, sf_dir):
+    """The MinHash pipeline in its 100-TB posture: exact duplicates are
+    pre-collapsed to one representative BEFORE banding
+    (operators/dedup.collapse_exact — identical-text clusters share
+    every band bucket, so uncollapsed they form the O(c^2) mega-buckets
+    the bucket-size rail guards against), then members re-attach as
+    LINEAR (rep, member, jaccard=1.0) edges unioned onto the rep-level
+    near-dup pairs. The gate corpus has no exact duplicates, so the
+    query synthesizes a duplicate cluster in-plan (every doc_id %% 50 ==
+    0 document re-appears under doc_id + 1_000_000); the oracle mirrors
+    the union, the min-id collapse, the portable MinHash arithmetic
+    over representatives, and the member edges."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (docs.where(F.col("doc_id") % 50 == 0)
+                .withColumn("doc_id",
+                            F.col("doc_id") + F.lit(1_000_000)))
+    corpus = docs.unionByName(dups)
+    return dedup.minhash_dedup(corpus, jaccard_threshold=0.7, bands=4,
+                               portable=True, precollapse_exact=True)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # portable=True (md5 bit votes) for the exact DuckDB oracle
@@ -1201,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_event_type": q_drift_psi_event_type,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash": q_dedup_minhash_candidates,
+        "dedup_minhash_collapsed": q_dedup_minhash_collapsed,
         "dedup_simhash": q_dedup_simhash,
         "stream_validate_events": q_stream_validate_events,
         "json_depth_profile": q_json_depth_profile,
@@ -1530,6 +1552,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT a_id, b_id,
                    inter / greatest(sa + sb - inter, 1) AS jaccard
             FROM v WHERE inter / greatest(sa + sb - inter, 1) >= 0.7
+        """
+
+    # Pre-collapsed MinHash oracle: synthesize the duplicate cluster
+    # (doc_id % 50 == 0 re-appears shifted by 1e6), collapse to min-id
+    # representatives, run the IDENTICAL portable MinHash arithmetic
+    # over the representatives only, and union the linear rep->member
+    # edges at jaccard 1.0 — stage for stage the
+    # minhash_dedup(precollapse_exact=True) plan
+    minhash_collapsed_sql = f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 50 = 0),
+            reps AS (
+              SELECT text, min(doc_id) AS rep FROM corpus GROUP BY text),
+            dup_edges AS (
+              SELECT r.rep AS a_id, c.doc_id AS b_id,
+                     1.0::DOUBLE AS jaccard
+              FROM corpus c JOIN reps r USING (text)
+              WHERE c.doc_id != r.rep),
+            repdocs AS (SELECT rep AS doc_id, text FROM reps),
+            params(i, a, b) AS (
+              VALUES {_mh_params}),
+            hs AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(substr(text, i, 5)), 1, 15))
+                        ::BIGINT % 2147483648
+                      FOR i IN range(1, greatest(length(text) - 4, 0) + 1)]
+                       AS hlist,
+                     list_distinct([substr(text, i, 5)
+                      FOR i IN range(1, greatest(length(text) - 4, 0) + 1)])
+                       AS grams
+              FROM repdocs),
+            h AS (SELECT doc_id, unnest(hlist) AS h FROM hs),
+            sig AS (
+              SELECT h.doc_id, p.i, min((p.a * h.h + p.b) % 2147483647) AS s
+              FROM h, params p GROUP BY h.doc_id, p.i),
+            bandlists AS (
+              SELECT doc_id, i // 8 AS band, list(s ORDER BY i) AS svals
+              FROM sig GROUP BY doc_id, i // 8),
+            buckets AS (
+              SELECT doc_id, band,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), svals),
+                                 (acc, x) -> (acc * 131 + x) % 2147483647)
+                       AS bucket
+              FROM bandlists),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+              FROM buckets l JOIN buckets r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id),
+            v AS (
+              SELECT c.a_id, c.b_id,
+                     len(list_intersect(ga.grams, gb.grams)) AS inter,
+                     len(ga.grams) AS sa, len(gb.grams) AS sb
+              FROM cand c JOIN hs ga ON ga.doc_id = c.a_id
+                          JOIN hs gb ON gb.doc_id = c.b_id)
+            SELECT a_id, b_id,
+                   inter / greatest(sa + sb - inter, 1) AS jaccard
+            FROM v WHERE inter / greatest(sa + sb - inter, 1) >= 0.7
+            UNION ALL
+            SELECT a_id, b_id, jaccard FROM dup_edges
         """
 
     # SimHash oracle: bit j of the portable 64-bit token hash is
@@ -2010,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_minhash / dedup_simhash: builtin xxhash64 + 64-bit wrap
         # arithmetic is not portable to DuckDB → rows-only check
         "dedup_minhash": minhash_sql,
+        "dedup_minhash_collapsed": minhash_collapsed_sql,
         "dedup_simhash": simhash_sql,
         # streaming query: availableNow drains the whole file source, so
         # the windowed streaming aggregation must equal this batch GROUP
