@@ -335,6 +335,49 @@ class TestHotBucketGuards:
         assert len(out) == 149
         assert all(r.a_id == 0 and r.jaccard == 1.0 for r in out)
 
+    def test_empty_docs_do_not_band(self, spark):
+        """Null / whitespace / sub-shingle texts fold to the degenerate
+        signature (minhash: init array; simhash: 0), so uncapped they
+        ALL share every band bucket — the empty-page mega-bucket. They
+        carry no similarity signal (empty shingle sets have jaccard 0
+        with everything), so both candidate generators exclude them —
+        which also matches the SQL oracles, whose unnest() never emits
+        zero-shingle/zero-token docs."""
+        rows = ([(i, None) for i in range(100)]
+                + [(100 + i, "   ") for i in range(100)]
+                + [(200 + i, "abc") for i in range(100)]  # < 5-gram
+                + [(300, self._TXT), (301, self._TXT)])
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        mh = dedup.minhash_lsh_candidates(docs, bands=4,
+                                          max_bucket_size=50).collect()
+        assert {(r.a_id, r.b_id) for r in mh} == {(300, 301)}
+        # 'abc' docs DO tokenize (1 token) — a legit 100-member
+        # identical cluster, so the RAW banding must trip the guard...
+        with pytest.raises(Exception, match="max_group_size=50"):
+            dedup.simhash_candidates(docs, max_bucket_size=50).collect()
+        # ...and pre-collapse must make the same corpus pass linearly
+        out = dedup.simhash_candidates(
+            docs, max_bucket_size=50, precollapse_exact=True).collect()
+        assert all(r.hamming == 0 for r in out)
+        # exact-dup member edges: whitespace docs ARE byte-identical
+        # (legit exact dups, 99 edges from rep 100), same for the abc
+        # cluster (99 edges from rep 200) and the TXT pair; the banded
+        # stage itself only ever sees the four reps
+        assert {(r.a_id, r.b_id) for r in out} == (
+            {(100, 100 + i) for i in range(1, 100)}
+            | {(200, 200 + i) for i in range(1, 100)}
+            | {(300, 301)})
+        # null-text docs are not duplicates of each other: no edges
+        assert all(r.a_id >= 100 and r.b_id >= 100 for r in out)
+
+    def test_collapse_exact_null_texts_stay_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x"), (4, "x")],
+            "doc_id long, text string")
+        reps, edges = dedup.collapse_exact(docs)
+        assert sorted(r.doc_id for r in reps.collect()) == [1, 2, 3]
+        assert [(r.a_id, r.b_id) for r in edges.collect()] == [(3, 4)]
+
     def test_all_pairs_block_guard_fires(self, spark):
         import numpy as np
 

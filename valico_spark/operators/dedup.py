@@ -90,12 +90,19 @@ def collapse_exact(df: DataFrame, id_col: str = "doc_id",
     window on the raw text keeps the operator exact (a hash key would
     merge colliding texts); the shuffle moves each text once, same
     volume as the banded pipeline's own signature stage reads.
+
+    NULL texts are not duplicates of each other (SQL windows group null
+    keys together, which would merge every null-text doc into one fake
+    group): each null-text row stays its own representative.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(text_col)
     tagged = (df.select(F.col(id_col), F.col(text_col))
-                .withColumn("__rep", F.min(id_col).over(w)))
+                .withColumn("__rep",
+                            F.when(F.col(text_col).isNull(),
+                                   F.col(id_col))
+                             .otherwise(F.min(id_col).over(w))))
     reps = (tagged.where(F.col(id_col) == F.col("__rep"))
                   .select(id_col, text_col))
     dup_edges = (tagged.where(F.col(id_col) != F.col("__rep"))
@@ -401,6 +408,15 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
     based = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"),
         minhash_base(F.col(text_col), n, portable=portable).alias("__base"))
+    # DEGENERATE-SIGNATURE exclusion: a doc with no shingles (null/short
+    # text) folds to the init array, so EVERY such doc shares EVERY band
+    # bucket — on a web corpus (empty pages are common) that is one more
+    # mega-bucket. Dropping them loses nothing: an empty shingle set has
+    # jaccard 0 with everything (incl. other empties — 0/max(union,1)),
+    # so no verified pair can ever contain one; and the SQL oracle's
+    # unnest() already excludes zero-shingle docs, so this ALIGNS the
+    # engines rather than diverging them.
+    based = based.where(F.size("__base") > 0)
     sig = based.select(
         "id", minhash_signature_from_base(F.col("__base"), num_hashes,
                                           seed).alias("sig"))
@@ -578,7 +594,17 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
                                   precollapse_exact=False)
         return near.unionByName(
             dup_edges.withColumn("hamming", F.lit(0)))
-    sigd = ensure_min_partitions(df).select(
+    # DEGENERATE-SIGNATURE exclusion (mirrors minhash_lsh_candidates): a
+    # doc with zero tokens votes no bits, signature = 0, so ALL empty
+    # docs share all four bands — a guaranteed mega-bucket on a web
+    # corpus. They carry no hamming signal (0 xor 0 = 0 for any pair of
+    # empties regardless of content-less difference); byte-identical
+    # empties belong to exact dedup / collapse_exact, not banding. The
+    # SQL oracle's unnest() already excludes zero-token docs — this
+    # aligns the engines. tokens() drops empty strings, so zero tokens
+    # ⇔ null-or-whitespace text.
+    sigd = ensure_min_partitions(df).where(
+        F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), portable=portable).alias("sig"))
     nbands = 64 // band_bits
