@@ -407,6 +407,31 @@ class TestHotBucketGuards:
         with pytest.raises(Exception, match="max_group_size=10"):
             rep.collect()
 
+    def test_zero_norm_vectors_excluded_everywhere(self, spark):
+        """Cosine with a zero vector is 0/0 = NaN, and Spark's NaN
+        ordering puts NaN ABOVE every real number — so a single zero
+        corpus vector would 'match' its whole block in all_pairs_above
+        and rank FIRST in every top-k list. Undefined-by-definition:
+        excluded on every side of every cosine operator."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        good = rng.standard_normal((10, 8))
+        rows = [(i, v.tolist()) for i, v in enumerate(good)]
+        rows.append((99, [0.0] * 8))
+        df = (spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<double>")
+              .withColumn("blk", F.lit(1)))
+        pairs = similarity.all_pairs_above(df, 0.9, block_col="blk")
+        assert all(r.a_id != 99 and r.b_id != 99
+                   for r in pairs.collect())
+        topk = similarity.brute_force_topk(df, df.limit(3), k=5).collect()
+        assert all(r.n_id != 99 for r in topk)
+        assert all(not np.isnan(r.sim) for r in topk)
+        ivf = similarity.ivf_topk(df, df.limit(3), k=5, n_centroids=2,
+                                  sample_size=16).collect()
+        assert all(r.n_id != 99 and not np.isnan(r.sim) for r in ivf)
+
     def test_semantic_dedup_derives_centroids_from_corpus(self, spark):
         """n_centroids=None derives the SemDeDup-style ~sqrt(N) count
         (floored at 16) instead of a fixed test-scale constant; the

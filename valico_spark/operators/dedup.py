@@ -169,6 +169,10 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     sh = ensure_min_partitions(df).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"),
         *([F.col(block_col).alias("__blk")] if block_col else []))
+    # zero-shingle docs (null/short text) can never reach a positive
+    # threshold (jaccard = 0/max(union,1)); drop them before the pair
+    # join instead of letting empties pair quadratically within blocks
+    sh = sh.where(F.size("sh") > 0)
     if block_col is not None and max_block_size is not None:
         sizes = sh.groupBy("__blk").agg(F.count(F.lit(1)).alias("__blk_n"))
         sh = (sh.join(F.broadcast(sizes), "__blk")

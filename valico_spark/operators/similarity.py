@@ -114,6 +114,12 @@ def all_pairs_above(df: DataFrame, threshold: float,
             "split the block key finer (more centroids / more block "
             "bits), pre-collapse duplicate vectors, or raise "
             "max_block_size")
+    # zero-norm vectors have UNDEFINED cosine, and the NaN that
+    # 0.0/0.0 produces compares GREATER than everything in Spark SQL
+    # (NaN ordering) — one null-ish vector would otherwise "match" its
+    # whole block above any threshold. Cosine is undefined there by
+    # definition: exclude.
+    df = df.where(norm(F.col(vec_col)) > 0)
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
                   norm(F.col(vec_col)).alias("a_nrm"),
@@ -142,14 +148,18 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     q = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
                                    F.col(vec_col).alias("q_vec"),
-                                   norm(F.col(vec_col)).alias("q_nrm")))
+                                   norm(F.col(vec_col)).alias("q_nrm"))
+                    .where(F.col("q_nrm") > 0))
     # parallelism from non-keyed split sizing only — a repartition on the
     # id would shuffle the full corpus for no semantic benefit. Norms are
     # computed ONCE per vector per side: cosine() inline would recompute
     # the corpus norm for every (query, neighbor) pair — |Q|x redundant.
+    # Zero-norm vectors: cosine undefined, and its 0/0 NaN sorts FIRST
+    # under desc(sim) (Spark NaN ordering) — one zero corpus vector
+    # would otherwise top EVERY query's list. Excluded on both sides.
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
-        norm(F.col(vec_col)).alias("n_nrm"))
+        norm(F.col(vec_col)).alias("n_nrm")).where(F.col("n_nrm") > 0)
     scored = (q.crossJoin(c)
                .where(F.col("q_id") != F.col("n_id"))
                .withColumn("sim", dot(F.col("q_vec"), F.col("n_vec"))
@@ -233,17 +243,22 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      srp_bucket(vec, plane_sets[t]).alias("bucket"))
             for t in range(tables)])
 
+    # zero-norm exclusion on both sides: undefined cosine, NaN-first
+    # ranking (see brute_force_topk)
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
                  F.col(vec_col).alias("n_vec"),
                  norm(F.col(vec_col)).alias("n_nrm"),
                  F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
+         .where(F.col("n_nrm") > 0)
          .select("n_id", "n_vec", "n_nrm", F.col("tb.tbl").alias("tbl"),
                  F.col("tb.bucket").alias("bucket")))
-    qb = queries.select(F.col(id_col).alias("q_id"),
-                        F.col(vec_col).alias("q_vec"),
-                        norm(F.col(vec_col)).alias("q_nrm"),
-                        F.explode(buckets_expr(F.col(vec_col))).alias("tb"))
+    qb = (queries.select(F.col(id_col).alias("q_id"),
+                         F.col(vec_col).alias("q_vec"),
+                         norm(F.col(vec_col)).alias("q_nrm"),
+                         F.explode(buckets_expr(F.col(vec_col)))
+                          .alias("tb"))
+                 .where(F.col("q_nrm") > 0))
     if probe_dist >= 1:
         probes = F.array_distinct(F.array(
             F.col("tb.bucket"),
@@ -352,12 +367,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         if centroids is None:  # empty corpus: empty result, same schema
             return _empty_topk(corpus, queries, id_col)
     c_scores = _centroid_scores(F.col(vec_col), centroids)
+    # zero-norm exclusion on both sides: undefined cosine, NaN-first
+    # ranking (see brute_force_topk)
     c = (ensure_min_partitions(corpus)
          .select(F.col(id_col).alias("n_id"),
                  F.col(vec_col).alias("n_vec"),
                  norm(F.col(vec_col)).alias("n_nrm"),
                  (F.array_position(c_scores, F.array_max(c_scores)) - 1)
-                 .cast("int").alias("cell")))
+                 .cast("int").alias("cell"))
+         .where(F.col("n_nrm") > 0))
     # query side: indices of the nprobe largest centroid scores —
     # sort (score, idx) structs descending, slice, explode
     scored = F.transform(
@@ -371,6 +389,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                        F.col(vec_col).alias("q_vec"),
                        norm(F.col(vec_col)).alias("q_nrm"),
                        F.explode(probes).alias("cell0"))
+               .where(F.col("q_nrm") > 0)
                .select("q_id", "q_vec", "q_nrm",
                        F.col("cell0").cast("int").alias("cell")))
     cand = (q.join(c, "cell")
