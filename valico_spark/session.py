@@ -30,6 +30,10 @@ _DEFAULT_CONFS = {
     # progress bars and launcher chatter must never touch stdout: the
     # bench/driver contract parses stdout's last line as JSON
     "spark.ui.showConsoleProgress": "false",
+    # availableNow drains with auto-provisioned temp checkpoints (the
+    # streaming driver queries); delete them even when a query fails —
+    # a 67-query bench x2 runs would otherwise accrete orphan dirs
+    "spark.sql.streaming.forceDeleteTempCheckpointLocation": "true",
 }
 
 
