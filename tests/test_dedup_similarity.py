@@ -407,6 +407,47 @@ class TestHotBucketGuards:
         with pytest.raises(Exception, match="max_group_size=10"):
             rep.collect()
 
+    def test_precollapse_clusters_equal_raw_clusters_randomized(
+            self, spark):
+        """Invariant across the two postures: pre-collapse changes the
+        PAIR set (linear rep->member edges instead of O(c^2) in-group
+        pairs; cross-group near-dups at rep level only) but must NOT
+        change the connected-components CLUSTERS — identical docs share
+        signatures, so raw banding links them too, and CC closes the
+        transitivity either way. Randomized corpora with exact-dup
+        multiplicities and perturbed near-dups."""
+        import random
+
+        from valico_spark.operators.graph import connected_components
+
+        vocab = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi rho sigma tau").split()
+        for seed in (1, 7, 23):
+            rnd = random.Random(seed)
+            docs, nid = [], 0
+            for b in range(8):
+                words = [rnd.choice(vocab) for _ in range(30)]
+                base = " ".join(words)
+                for _ in range(rnd.randint(1, 6)):  # exact copies
+                    docs.append((nid, base)); nid += 1
+                if rnd.random() < 0.6:  # near-dup: one word swapped
+                    w2 = list(words)
+                    w2[rnd.randrange(len(w2))] = rnd.choice(vocab)
+                    docs.append((nid, " ".join(w2))); nid += 1
+            df = spark.createDataFrame(docs, "doc_id long, text string")
+
+            def clusters(pairs):
+                comp = connected_components(pairs).collect()
+                by = {}
+                for r in comp:
+                    by.setdefault(r.comp, set()).add(r.id)
+                return {frozenset(s) for s in by.values()}
+
+            raw = dedup.minhash_dedup(df, jaccard_threshold=0.6, bands=4)
+            pre = dedup.minhash_dedup(df, jaccard_threshold=0.6, bands=4,
+                                      precollapse_exact=True)
+            assert clusters(raw) == clusters(pre), f"seed {seed}"
+
     def test_zero_norm_vectors_excluded_everywhere(self, spark):
         """Cosine with a zero vector is 0/0 = NaN, and Spark's NaN
         ordering puts NaN ABOVE every real number — so a single zero

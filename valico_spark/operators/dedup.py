@@ -171,8 +171,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
         *([F.col(block_col).alias("__blk")] if block_col else []))
     # zero-shingle docs (null/short text) can never reach a positive
     # threshold (jaccard = 0/max(union,1)); drop them before the pair
-    # join instead of letting empties pair quadratically within blocks
+    # join instead of letting empties pair quadratically within blocks.
+    # Null block keys never satisfy the equi-join — dropped before the
+    # size guard so unjoinable rows cannot trip it.
     sh = sh.where(F.size("sh") > 0)
+    if block_col is not None:
+        sh = sh.where(F.col("__blk").isNotNull())
     if block_col is not None and max_block_size is not None:
         sizes = sh.groupBy("__blk").agg(F.count(F.lit(1)).alias("__blk_n"))
         sh = (sh.join(F.broadcast(sizes), "__blk")

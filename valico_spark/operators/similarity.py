@@ -108,18 +108,23 @@ def all_pairs_above(df: DataFrame, threshold: float,
         df = df.withColumn("__srp_blk",
                            srp_bucket(F.col(vec_col), planes))
         block_col = "__srp_blk"
+    # zero-norm vectors have UNDEFINED cosine, and the NaN that
+    # 0.0/0.0 produces compares GREATER than everything in Spark SQL
+    # (NaN ordering) — one null-ish vector would otherwise "match" its
+    # whole block above any threshold. Cosine is undefined there by
+    # definition: exclude. Null block keys never satisfy the equi-join,
+    # so they are dropped too — BEFORE the size guard, which would
+    # otherwise count (and could falsely abort on) rows that can never
+    # produce a pair.
+    df = df.where(norm(F.col(vec_col)) > 0)
+    if block_col is not None:
+        df = df.where(F.col(block_col).isNotNull())
     if block_col is not None and max_block_size is not None:
         df = cap_group_size(
             df, [block_col], max_block_size, "all_pairs_above",
             "split the block key finer (more centroids / more block "
             "bits), pre-collapse duplicate vectors, or raise "
             "max_block_size")
-    # zero-norm vectors have UNDEFINED cosine, and the NaN that
-    # 0.0/0.0 produces compares GREATER than everything in Spark SQL
-    # (NaN ordering) — one null-ish vector would otherwise "match" its
-    # whole block above any threshold. Cosine is undefined there by
-    # definition: exclude.
-    df = df.where(norm(F.col(vec_col)) > 0)
     a = df.select(F.col(id_col).alias("a_id"),
                   F.col(vec_col).alias("a_vec"),
                   norm(F.col(vec_col)).alias("a_nrm"),
