@@ -101,6 +101,9 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
     One JVM per parallelism level keeps the comparison honest."""
     from valico_spark.session import get_spark
 
+    # ad-hoc conf experiments without editing the protocol (JSON dict),
+    # e.g. BENCH_EXTRA_CONF='{"spark.sql.codegen.methodSplitThreshold":"8192"}'
+    extra = json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}"))
     spark = get_spark(f"bench_{master}", master=master, extra_conf={
         "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
         "spark.sql.files.openCostInBytes": "0",
@@ -116,6 +119,7 @@ def _scaling_worker(master: str, docs_path: str, media_path: str) -> None:
         "spark.driver.extraJavaOptions":
             "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=1g"
             " -XX:+UseParallelGC",
+        **extra,
     })
     spark.sparkContext.setLogLevel("ERROR")
     import pyarrow.parquet as pq
