@@ -6,7 +6,10 @@ rows, map-side combine does the heavy lifting:
 
 * row count and null rate,
 * distinct-count sketch (HyperLogLog++, ``approx_count_distinct``),
-* quantile sketch (GK via ``percentile_approx``) for numerics,
+* quantile sketch (GK via ``percentile_approx``) for numerics —
+  ``operators/sketches.py`` provides the t-digest alternative when
+  tail quantiles (p99.9 of heavy-tailed length/latency columns) must
+  stay sharp,
 * min / max / mean.
 
 The reference walks one document at a time with no table-level notion
