@@ -411,11 +411,6 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
     pipeline entry points). ``None`` disables the rail.
     """
     rows = num_hashes // bands
-    # two-step projection: base hashes materialize once, then the K-way
-    # fold — avoids K re-evaluations of xxhash64 per shingle
-    based = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"),
-        minhash_base(F.col(text_col), n, portable=portable).alias("__base"))
     # DEGENERATE-SIGNATURE exclusion: a doc with no shingles (null/short
     # text) folds to the init array, so EVERY such doc shares EVERY band
     # bucket — on a web corpus (empty pages are common) that is one more
@@ -423,8 +418,19 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
     # jaccard 0 with everything (incl. other empties — 0/max(union,1)),
     # so no verified pair can ever contain one; and the SQL oracle's
     # unnest() already excludes zero-shingle docs, so this ALIGNS the
-    # engines rather than diverging them.
-    based = based.where(F.size("__base") > 0)
+    # engines rather than diverging them. The predicate is the CHEAP
+    # source-side equivalent of ``size(__base) > 0`` (char_shingles
+    # emits empty exactly when text is null or shorter than n): a
+    # post-projection filter on size(__base) gets pushed below the
+    # projection and inlines the md5/xxhash base expression into the
+    # filter — measured 3x on the banded queries.
+    src = ensure_min_partitions(df).where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= n))
+    # two-step projection: base hashes materialize once, then the K-way
+    # fold — avoids K re-evaluations of xxhash64 per shingle
+    based = src.select(
+        F.col(id_col).alias("id"),
+        minhash_base(F.col(text_col), n, portable=portable).alias("__base"))
     sig = based.select(
         "id", minhash_signature_from_base(F.col("__base"), num_hashes,
                                           seed).alias("sig"))
