@@ -166,15 +166,22 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
             "ngram_jaccard_pairs without block_col is quadratic in the "
             "corpus; pass allow_quadratic=True only for sampled tiers, "
             "or use jaccard_pairs_prefix (exact, PPJoin) at scale")
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"),
-        *([F.col(block_col).alias("__blk")] if block_col else []))
     # zero-shingle docs (null/short text) can never reach a positive
     # threshold (jaccard = 0/max(union,1)); drop them before the pair
     # join instead of letting empties pair quadratically within blocks.
-    # Null block keys never satisfy the equi-join — dropped before the
-    # size guard so unjoinable rows cannot trip it.
-    sh = sh.where(F.size("sh") > 0)
+    # Filter on the cheap SOURCE equivalent of ``size(sh) > 0``
+    # (hashed_shingles emits empty exactly when text is null or shorter
+    # than n) — a post-projection size(sh) filter gets pushed below the
+    # projection and inlines the hash-per-shingle expression into the
+    # filter condition, evaluating it twice per row (same 3x pattern
+    # measured and fixed in minhash_lsh_candidates). Null block keys
+    # never satisfy the equi-join — dropped before the size guard so
+    # unjoinable rows cannot trip it.
+    src = ensure_min_partitions(df).where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= n))
+    sh = src.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"),
+        *([F.col(block_col).alias("__blk")] if block_col else []))
     if block_col is not None:
         sh = sh.where(F.col("__blk").isNotNull())
     if block_col is not None and max_block_size is not None:
@@ -278,13 +285,23 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
     # changes at most the candidate SUPERSET — the exact-Jaccard verify
     # makes the emitted pair set order-invariant, which is why the SQL
     # oracle (string shingles, string order) matches value-for-value.
+    # zero-shingle docs dropped on the cheap SOURCE equivalent of
+    # ``size(hsh) > 0`` (word_shingles emits empty exactly when the
+    # whitespace token count is < w): a post-projection size filter gets
+    # pushed below the projection and inlines the whole shingle+hash
+    # expression into the filter condition — evaluated twice per row
+    # (the 3x pattern measured in minhash_lsh_candidates). The split
+    # re-evaluates once in the filter, but it is trivial next to the
+    # transform/concat_ws/xxhash64 chain it spares.
     base = (ensure_min_partitions(df)
+            .where(F.col(text_col).isNotNull()
+                   & (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      >= w))
             .select(F.col(id_col).alias("id"),
                     F.array_distinct(F.transform(
                         word_shingles(F.col(text_col), w),
                         lambda s: F.xxhash64(s))).alias("hsh"))
-            .withColumn("sz", F.size("hsh"))
-            .where(F.col("sz") > 0))
+            .withColumn("sz", F.size("hsh")))
     g = base.select("id", "sz", F.explode("hsh").alias("gram"))
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
     ranked = (g.join(freq, "gram")
