@@ -86,6 +86,65 @@ def test_skew_split_fires_and_orphans_exact(skew_conf):
         "AQE skew-join did not engage; plan head:\n" + plan[:2000])
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime bloom-filter join pruning (the other runtime shuffle-
+    volume lever next to AQE): when one join side carries a selective
+    filter, Spark builds a bloom filter from it and injects a
+    ``might_contain`` predicate on the other side BELOW that side's
+    shuffle — at 100 TB this drops never-matching fact rows at the scan
+    instead of shuffling them. Session defaults leave
+    ``runtime.bloomFilter.enabled`` on; this pins that it ENGAGES on a
+    plain filtered-dimension inner equi-join over parquet (the
+    decontamination / dimension-enrichment shape). NOTE it cannot apply
+    to the referential LEFT ANTI join — pruning non-matching rows there
+    would delete exactly the orphans the check reports — so the skew
+    rail above, not this one, is the anti-join's lever.
+    """
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        # the application-side scan must look big enough to be worth
+        # filtering; lower the bar at test scale
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "10KB",
+        # force a shuffle join: with broadcast, the probe side already
+        # prunes against the build hash table and no bloom is injected
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.repeat(F.lit("y"), 40).alias("pay"))
+        dim = spark.range(0, 2_000).select(
+            (F.col("id") * 7).alias("k"), F.col("id").alias("v"))
+        fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+        dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = (spark.read.parquet(str(tmp_path / "dim"))
+                  .where(F.col("k") % 2 == 0))  # the selective side
+        j = f.join(d, "k")
+        rows = j.collect()
+        # ground truth: dim keys are 7i (i<2000) with 7i even; fact has
+        # 4 rows per key < 50000
+        want = 4 * sum(1 for i in range(2000)
+                       if (7 * i) % 2 == 0 and 7 * i < 50_000)
+        assert len(rows) == want
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+            "runtime bloom filter did not engage; plan head:\n"
+            + plan[:1500])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_skew_split_preserves_anti_join_semantics(skew_conf):
     """Split partitions must not duplicate or drop anti-join rows: the
     orphan ROW SET (not just the count) matches the unsplit truth."""
