@@ -1,0 +1,174 @@
+"""Curation-pipeline composition lane (plans/pipeline.py): sequential
+semantics, first-drop-reason attribution, row-stage fusion (zero
+shuffles), and the standard recipe end-to-end against hand-applied
+operator ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from valico_spark.plans.pipeline import (
+    Stage, blocklist_stage, curate, decontam_stage, invalid_stage,
+    low_quality_stage, near_dup_stage, row_stage, set_stage,
+    wrong_lang_stage,
+)
+
+RULESET = {
+    "type": "object",
+    "required": ["text"],
+    "properties": {"text": {"type": "string", "minLength": 12}},
+}
+
+GOOD_EN = ("the quick brown fox jumps over the lazy dog and runs on "
+           "to the hills in a bright morning of wind and sun")
+NEAR_EN = ("the quick brown fox jumps over the lazy dog and runs on "
+           "to the hills in a bright morning of wind and fog")
+FRENCH = ("le chat est sur la table et le chien est dans le jardin "
+          "avec une balle et un os")
+JUNK = ")(*&^%$#@! ~~~ ::: |||"
+BENCH8 = ("alpha beta gamma delta epsilon zeta eta theta")
+CONTAMINATED = ("this document quotes alpha beta gamma delta epsilon "
+                "zeta eta theta verbatim and the rest of the text is "
+                "long enough to be a real page about many things")
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD_EN),            # survives everything
+        (2, None),               # invalid: required text
+        (3, "tiny"),             # invalid: minLength
+        (4, JUNK + " " + JUNK),  # low quality
+        (5, FRENCH),             # wrong language
+        (6, GOOD_EN),            # exact dup of 1 (longest tie -> min id keeps 1)
+        (7, NEAR_EN),            # near dup of 1
+        (8, CONTAMINATED),       # contaminated vs benchmark
+        (9, "a page that mentions https://spam.example.com explicitly "
+            "and is otherwise long and fine and full of the usual words"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame([(100, BENCH8)],
+                                 "doc_id long, text string")
+
+
+def _stages(spark):
+    docs = _corpus(spark)
+    return docs, [
+        invalid_stage(RULESET, docs.schema),
+        low_quality_stage(0.30),
+        wrong_lang_stage(["en"]),
+        blocklist_stage(["spam.example.com"]),
+        near_dup_stage(jaccard_threshold=0.8, n=5),
+        decontam_stage(_bench(spark), n=8),
+    ]
+
+
+class TestStandardRecipe:
+    def test_reasons_and_survivors(self, spark):
+        docs, stages = _stages(spark)
+        curated, tagged, report = curate(docs, stages)
+        got = {r.doc_id: r.drop_reason for r in tagged.collect()}
+        assert got == {
+            1: None,
+            2: "invalid",
+            3: "invalid",
+            4: "low_quality",
+            5: "wrong_lang",
+            6: "near_dup",
+            7: "near_dup",
+            8: "contaminated",
+            9: "blocklisted",
+        }
+        assert sorted(r.doc_id for r in curated.collect()) == [1]
+        assert curated.columns == docs.columns
+
+    def test_report_counts_and_order(self, spark):
+        docs, stages = _stages(spark)
+        _, _, report = curate(docs, stages)
+        rows = [(r.stage, r.n_rows) for r in report.collect()]
+        assert rows == [("invalid", 2), ("low_quality", 1),
+                        ("wrong_lang", 1), ("blocklisted", 1),
+                        ("near_dup", 2), ("contaminated", 1),
+                        ("kept", 1)]
+        assert sum(n for _, n in rows) == docs.count()
+
+
+class TestSemantics:
+    def test_first_stage_wins(self, spark):
+        # French text short enough to also fail quality: charged to the
+        # EARLIER stage only
+        docs = spark.createDataFrame(
+            [(1, "le et la un une est"), (2, GOOD_EN)],
+            "doc_id long, text string")
+        _, tagged, _ = curate(docs, [
+            low_quality_stage(0.99, name="q"),
+            wrong_lang_stage(["en"], name="l"),
+        ])
+        got = {r.doc_id: r.drop_reason for r in tagged.collect()}
+        assert got[1] == "q"
+
+    def test_set_stage_sees_survivors_only(self, spark):
+        # doc 2 is an exact dup of doc 1, but doc 1 is dropped by an
+        # earlier stage — sequentially doc 2 has no duplicate left and
+        # MUST survive; naive all-rows tagging would drop it
+        docs = spark.createDataFrame(
+            [(1, GOOD_EN), (2, GOOD_EN)], "doc_id long, text string")
+        _, tagged, _ = curate(docs, [
+            row_stage("first_only", lambda d: F.col("doc_id") == 1),
+            near_dup_stage(n=5),
+        ])
+        got = {r.doc_id: r.drop_reason for r in tagged.collect()}
+        assert got == {1: "first_only", 2: None}
+
+    def test_row_stages_fuse_no_shuffle(self, spark):
+        docs, stages = _stages(spark)
+        row_only = [s for s in stages if s.kind == "row"]
+        _, tagged, _ = curate(docs, row_only)
+        tagged.collect()
+        plan = tagged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_stage_validation(self, spark):
+        docs = _corpus(spark)
+        with pytest.raises(ValueError, match="unique"):
+            curate(docs, [low_quality_stage(0.1, name="x"),
+                          wrong_lang_stage(["en"], name="x")])
+        with pytest.raises(ValueError, match="one id column"):
+            bad = set_stage("s", lambda d: d.select("doc_id", "text"))
+            curate(docs, [bad])[1].collect()
+
+    def test_matches_sequential_operator_application(self, spark):
+        """curate == running the same operators as successive filters."""
+        from valico_spark.operators.decontam import decontaminate
+        from valico_spark.operators.dedup import minhash_dedup
+        from valico_spark.operators.graph import (
+            dedup_clusters, select_representatives)
+        from valico_spark.operators.text import (
+            filter_blocklisted_domains, pred_lang_col, quality_score_col)
+        from valico_spark.operators.validate import validate_dataframe
+
+        docs, stages = _stages(spark)
+        curated, _, _ = curate(docs, stages)
+
+        s = validate_dataframe(docs, RULESET).where("valid") \
+            .drop("violations", "valid")
+        s = s.where(quality_score_col(F.col("text")) >= 0.30)
+        s = s.where(pred_lang_col(F.col("text")) == "en")
+        s = filter_blocklisted_domains(s, ["spam.example.com"])
+        pairs = minhash_dedup(s, jaccard_threshold=0.8, n=5,
+                              precollapse_exact=True)
+        reps = select_representatives(
+            dedup_clusters(pairs),
+            s.select("doc_id", F.coalesce(F.length("text"), F.lit(0))
+                     .alias("__len")), "__len")
+        s = s.join(reps.where(~F.col("keep")).select("doc_id"),
+                   "doc_id", "left_anti")
+        s = decontaminate(s, _bench(spark), n=8)
+
+        assert (sorted(r.doc_id for r in curated.collect())
+                == sorted(r.doc_id for r in s.collect()))

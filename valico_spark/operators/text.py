@@ -46,6 +46,23 @@ def token_stats(df: DataFrame, text_col: str = "text",
          .alias("avg_token_len"))
 
 
+def quality_score_col(text: Column) -> Column:
+    """The composite quality score as a bare Column — for callers that
+    fuse the score into a larger single-pass projection (plans/
+    pipeline.py row stages) instead of materializing the per-feature
+    frame. MUST stay formula-identical to :func:`quality_scores`'s
+    ``quality_score`` (the oracle-checked surface)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    n_chars = F.length(text)
+    n_alpha = n_chars - F.length(F.regexp_replace(text, r"[A-Za-z]", ""))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    return (F.least(n_tok / F.lit(20.0), F.lit(1.0)) * 0.4
+            + stop_ratio * 0.3 + alpha_ratio * 0.3)
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: stopword ratio, punctuation ratio,
@@ -62,8 +79,7 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
-    score = (F.least(n_tok / F.lit(20.0), F.lit(1.0)) * 0.4
-             + stop_ratio * 0.3 + alpha_ratio * 0.3)
+    score = quality_score_col(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -72,19 +88,35 @@ def quality_scores(df: DataFrame, text_col: str = "text",
         F.round(score, 4).alias("quality_score"))
 
 
+def _marker_count(toks: Column, words: list[str]) -> Column:
+    # NB: the predicate must be a 1-arg lambda — a second parameter
+    # (even defaulted) makes Spark pass the array index into it
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def pred_lang_col(text: Column) -> Column:
+    """The argmax language prediction as a bare Column — for callers
+    that fuse language ID into a larger single-pass projection (plans/
+    pipeline.py row stages). MUST stay decision-identical to
+    :func:`lang_id`'s ``pred_lang`` (the oracle-checked surface):
+    same marker sets, same alphabetical tie-break."""
+    toks = tokens(F.lower(text))
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(*[
+        F.struct(_marker_count(toks, LANG_MARKERS[l]).alias("s"),
+                 F.lit(len(langs) - i).alias("prio"),
+                 F.lit(l).alias("lang"))
+        for i, l in enumerate(langs)])
+    return F.array_max(pairs)["lang"]
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: score per language = matching tokens;
     prediction = argmax with deterministic alphabetical tie-break."""
     toks = tokens(F.lower(F.col(text_col)))
-
-    def marker_count(words):
-        # NB: the predicate must be a 1-arg lambda — a second parameter
-        # (even defaulted) makes Spark pass the array index into it
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
-    scores = [marker_count(words).alias(f"score_{lang}")
+    scores = [_marker_count(toks, words).alias(f"score_{lang}")
               for lang, words in sorted(LANG_MARKERS.items())]
     scored = df.select(F.col(id_col), *scores)
     langs = sorted(LANG_MARKERS)
@@ -328,18 +360,25 @@ def domain_counts(df: DataFrame, text_col: str = "text",
                         F.count(F.lit(1)).alias("n_urls")))
 
 
+def blocklisted_domain_pred(text: Column, blocklist: list[str]) -> Column:
+    """TRUE when the text mentions any blocklisted domain — the bare
+    predicate behind :func:`filter_blocklisted_domains`, exposed for
+    single-pass pipeline row stages."""
+    # null text has no URLs: keep the document (regexp over NULL is
+    # NULL, and size(NULL) would otherwise silently drop the row)
+    urls = F.coalesce(
+        F.regexp_extract_all(text, F.lit(URL_PATTERN), 0),
+        F.array().cast("array<string>"))
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)))
+    bad = F.array(*[F.lit(d.lower()) for d in blocklist])
+    return F.size(F.array_intersect(domains, bad)) > 0
+
+
 def filter_blocklisted_domains(df: DataFrame, blocklist: list[str],
                                text_col: str = "text") -> DataFrame:
     """Drop documents mentioning any blocklisted domain. The blocklist
     is a literal array (KBs even for large lists) evaluated per row —
     no join, no shuffle; at millions of entries switch to a broadcast
     anti-join on the exploded domain table instead."""
-    # null text has no URLs: keep the document (regexp over NULL is
-    # NULL, and size(NULL) would otherwise silently drop the row)
-    urls = F.coalesce(
-        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0),
-        F.array().cast("array<string>"))
-    domains = F.transform(
-        urls, lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN, 1)))
-    bad = F.array(*[F.lit(d.lower()) for d in blocklist])
-    return df.where(F.size(F.array_intersect(domains, bad)) == 0)
+    return df.where(~blocklisted_domain_pred(F.col(text_col), blocklist))

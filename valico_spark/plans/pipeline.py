@@ -1,0 +1,250 @@
+"""Composed corpus-curation pipeline with single-pass attrition
+accounting — the end-to-end recipe a training-data run actually
+executes: validate → quality/language/blocklist filter → near-dup
+dedup → benchmark decontamination, each stage recording WHY every
+dropped row was dropped.
+
+Reference scope: the reference validates one document at a time and has
+no pipeline tier; this module is the engine-level composition of the
+operators the rest of the package already verifies individually
+(validate.py, text.py, dedup.py, graph.py, decontam.py).
+
+Scale design — the whole point of tagging instead of filtering:
+
+* **Row-local stages fuse.** A ``row_stage`` contributes one boolean
+  expression to a single ``CASE WHEN`` chain evaluated in ONE codegen
+  projection over the corpus — five filter stages cost one scan, zero
+  shuffles, and the chain order gives exact sequential semantics (a
+  row dropped by stage k is never charged to stage k+1).
+* **Set stages see only survivors.** A ``set_stage`` (near-dup dedup,
+  decontamination — anything that needs a join or an aggregation)
+  receives the survivors-so-far frame and returns the ids to drop; the
+  ids come back as one keyed left join whose right side is the dropped
+  sliver, never the corpus.
+* **The attrition report is ONE aggregation** over the final tagged
+  frame (``groupBy(drop_reason)``), not a count-action per stage — at
+  100 TB per-stage ``.count()`` checkpoints would double the cost of
+  the whole pipeline.
+
+Usage::
+
+    stages = [
+        row_stage("invalid", invalid_pred(ruleset, docs.schema)),
+        row_stage("low_quality",
+                  lambda d: quality_score_col(F.col("text")) < 0.3),
+        set_stage("near_dup", minhash_drop_ids()),
+        set_stage("contaminated", decontam_drop_ids(benchmark)),
+    ]
+    curated, tagged, report = curate(docs, stages)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REASON = "drop_reason"
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    kind: str  # "row" | "set"
+    fn: Callable[[DataFrame], Any]
+
+
+def row_stage(name: str,
+              pred: Callable[[DataFrame], Column]) -> Stage:
+    """A row-local drop rule: ``pred(df)`` returns a boolean Column
+    (TRUE = drop). Evaluated over every not-yet-dropped row inside the
+    shared projection — adds no scan and no shuffle."""
+    return Stage(name, "row", pred)
+
+
+def set_stage(name: str,
+              drop_ids: Callable[[DataFrame], DataFrame]) -> Stage:
+    """A set-valued drop rule: ``drop_ids(survivors)`` returns a
+    one-column DataFrame of ids to drop (any column name; duplicates
+    fine). Use for anything needing a join/aggregation over the
+    surviving corpus — near-dup clusters, contamination probes."""
+    return Stage(name, "set", drop_ids)
+
+
+def curate(df: DataFrame, stages: list[Stage],
+           id_col: str = "doc_id") \
+        -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run ``stages`` sequentially and return
+    ``(curated, tagged, report)``:
+
+    * ``curated`` — the surviving rows, original columns;
+    * ``tagged`` — every input row + ``drop_reason`` (null = kept),
+      the audit-tier artifact (write it next to the curated output and
+      any dropped row is explainable without re-running anything);
+    * ``report`` — ``(stage, n_rows)`` attrition counts in stage
+      order, with a final ``kept`` row; one aggregation, lazily
+      evaluated.
+
+    Stage names must be unique and not ``"kept"``. Sequential
+    semantics: each stage only ever drops rows that survived every
+    earlier stage, and ``drop_reason`` records the FIRST stage that
+    dropped the row — identical to running the stages as successive
+    filters, for the cost of one corpus scan plus one keyed join per
+    set stage.
+    """
+    names = [s.name for s in stages]
+    if len(set(names)) != len(names) or "kept" in names:
+        raise ValueError("stage names must be unique and not 'kept'")
+
+    tagged = df.withColumn(_REASON, F.lit(None).cast("string"))
+    for st in stages:
+        if st.kind == "row":
+            pred = st.fn(tagged)
+            tagged = tagged.withColumn(
+                _REASON,
+                F.coalesce(F.col(_REASON),
+                           F.when(pred, F.lit(st.name))))
+        elif st.kind == "set":
+            survivors = (tagged.where(F.col(_REASON).isNull())
+                               .drop(_REASON))
+            ids = st.fn(survivors)
+            if len(ids.columns) != 1:
+                raise ValueError(
+                    f"set stage {st.name!r} must return exactly one "
+                    f"id column, got {ids.columns}")
+            drop = (ids.select(F.col(ids.columns[0]).alias("__drop_id"))
+                       .distinct()
+                       .withColumn("__hit", F.lit(True)))
+            tagged = (tagged.join(
+                          drop,
+                          tagged[id_col] == drop["__drop_id"], "left")
+                      .withColumn(
+                          _REASON,
+                          F.coalesce(F.col(_REASON),
+                                     F.when(F.col("__hit"),
+                                            F.lit(st.name))))
+                      .drop("__drop_id", "__hit"))
+        else:  # pragma: no cover - Stage constructors prevent this
+            raise ValueError(f"unknown stage kind {st.kind!r}")
+
+    curated = tagged.where(F.col(_REASON).isNull()).drop(_REASON)
+    order = {n: i for i, n in enumerate(names)}
+    order["kept"] = len(names)
+    order_expr = F.element_at(
+        F.create_map(*[x for n, i in order.items()
+                       for x in (F.lit(n), F.lit(i))]),
+        F.coalesce(F.col(_REASON), F.lit("kept")))
+    report = (tagged
+              .groupBy(F.coalesce(F.col(_REASON), F.lit("kept"))
+                        .alias("stage"))
+              .agg(F.count(F.lit(1)).alias("n_rows"))
+              .orderBy(order_expr))
+    return curated, tagged, report
+
+
+# -- ready-made stage factories (the standard curation recipe) -----------
+
+def invalid_stage(ruleset: Any, schema, version: int | None = None,
+                  name: str = "invalid") -> Stage:
+    """Drop rows the compiled ruleset rejects. Compiles the violations
+    Column up front (compiler/columns.py) so the check fuses into the
+    shared row-stage projection; raises UnsupportedRule at BUILD time
+    if the ruleset needs the Arrow walker — wrap validate_dataframe in
+    a set_stage for that case (kept explicit: a silent fallback would put
+    a Python stage in what callers believe is a pure-codegen scan)."""
+    from valico_spark.compiler.columns import compile_ruleset
+    from valico_spark.compiler.pyvalidator import DRAFT7
+
+    viol = compile_ruleset(ruleset, schema,
+                           version=DRAFT7 if version is None else version)
+    return row_stage(name, lambda df: F.size(viol) > 0)
+
+
+def low_quality_stage(min_score: float, text_col: str = "text",
+                      name: str = "low_quality") -> Stage:
+    """Drop rows scoring under the composite quality threshold
+    (text.quality_score_col — formula-identical to the oracle-checked
+    quality_scores). Null text scores null → never TRUE here, so null
+    text is the validation/min-length stages' concern, by design."""
+    from valico_spark.operators.text import quality_score_col
+
+    return row_stage(
+        name, lambda df: quality_score_col(F.col(text_col)) < min_score)
+
+
+def wrong_lang_stage(keep_langs: list[str], text_col: str = "text",
+                     name: str = "wrong_lang") -> Stage:
+    """Drop rows whose predicted language is outside ``keep_langs``
+    (text.pred_lang_col — decision-identical to lang_id)."""
+    from valico_spark.operators.text import pred_lang_col
+
+    keep = [l.lower() for l in keep_langs]
+    return row_stage(
+        name,
+        lambda df: ~pred_lang_col(F.col(text_col)).isin(keep))
+
+
+def blocklist_stage(blocklist: list[str], text_col: str = "text",
+                    name: str = "blocklisted") -> Stage:
+    from valico_spark.operators.text import blocklisted_domain_pred
+
+    return row_stage(
+        name,
+        lambda df: blocklisted_domain_pred(F.col(text_col), blocklist))
+
+
+def near_dup_stage(jaccard_threshold: float = 0.8,
+                   num_hashes: int = 32, bands: int = 8, n: int = 5,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   score_col: str | None = None,
+                   name: str = "near_dup") -> Stage:
+    """Drop every near-duplicate except one survivor per cluster:
+    MinHash-LSH with exact-duplicate pre-collapse (the 100-TB posture,
+    dedup.minhash_dedup) → connected components → keep-best (longest
+    text by default, or ``score_col``)."""
+    from valico_spark.operators.dedup import minhash_dedup
+    from valico_spark.operators.graph import (
+        dedup_clusters, select_representatives)
+
+    def drop_ids(survivors: DataFrame) -> DataFrame:
+        pairs = minhash_dedup(
+            survivors, jaccard_threshold=jaccard_threshold,
+            num_hashes=num_hashes, bands=bands, n=n,
+            id_col=id_col, text_col=text_col, precollapse_exact=True)
+        clusters = dedup_clusters(pairs)
+        if score_col is None:
+            scored = survivors.select(
+                F.col(id_col),
+                F.coalesce(F.length(text_col), F.lit(0))
+                 .alias("__len"))
+            sc = "__len"
+        else:
+            scored, sc = survivors, score_col
+        reps = select_representatives(clusters, scored, sc,
+                                      id_col=id_col)
+        return reps.where(~F.col("keep")).select(id_col)
+
+    return set_stage(name, drop_ids)
+
+
+def decontam_stage(benchmark: DataFrame, n: int = 8,
+                   max_contamination: float = 0.0,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bench_id_col: str = "doc_id",
+                   bench_text_col: str = "text",
+                   name: str = "contaminated") -> Stage:
+    """Drop rows sharing n-grams with the benchmark beyond the allowed
+    contamination fraction (decontam.contamination_report)."""
+    from valico_spark.operators.decontam import contamination_report
+
+    def drop_ids(survivors: DataFrame) -> DataFrame:
+        rep = contamination_report(
+            survivors, benchmark, n=n, id_col=id_col,
+            text_col=text_col, bench_id_col=bench_id_col,
+            bench_text_col=bench_text_col)
+        return (rep.where(F.col("contamination_r") > max_contamination)
+                   .select("doc_id"))
+
+    return set_stage(name, drop_ids)
