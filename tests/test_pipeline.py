@@ -142,6 +142,63 @@ class TestSemantics:
             bad = set_stage("s", lambda d: d.select("doc_id", "text"))
             curate(docs, [bad])[1].collect()
 
+    def test_stream_row_tier_matches_batch(self, spark, tmp_path):
+        """curate_stream over a file-source stream == batch curate with
+        the same row stages, and the windowed attrition counts match a
+        batch aggregation — the in-flight tier cannot drift."""
+        import datetime as dt
+
+        from valico_spark.plans.pipeline import (
+            curate_stream, stream_attrition_counts)
+
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        rows = [(i,
+                 GOOD_EN if i % 3 == 0 else
+                 (FRENCH if i % 3 == 1 else JUNK + " " + JUNK),
+                 base + dt.timedelta(seconds=40 * i))
+                for i in range(30)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp")
+        src = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src)
+
+        stages = [low_quality_stage(0.30), wrong_lang_stage(["en"])]
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        tagged = curate_stream(stream, stages)
+        counts = stream_attrition_counts(tagged, "ts", "1 minute")
+        q = (counts.writeStream.outputMode("complete").format("memory")
+                   .queryName("pipe_attrition")
+                   .option("checkpointLocation", str(tmp_path / "ck"))
+                   .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = sorted(map(tuple, spark.sql(
+            "select * from pipe_attrition").collect()))
+        spark.catalog.dropTempView("pipe_attrition")
+
+        _, btag, _ = curate(spark.read.parquet(src), stages)
+        want = sorted(map(tuple, (
+            btag.groupBy(F.window("ts", "1 minute").alias("w"),
+                         F.coalesce(F.col("drop_reason"), F.lit("kept"))
+                          .alias("stage"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.col("w.start").alias("window_start"),
+                        F.col("w.end").alias("window_end"),
+                        "stage", "n_rows")).collect()))
+        assert got == want and len(got) > 3
+
+    def test_stream_refuses_set_stages(self, spark, tmp_path):
+        from valico_spark.plans.pipeline import curate_stream
+
+        docs = _corpus(spark)
+        src = str(tmp_path / "s2")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        with pytest.raises(ValueError, match="row stages only"):
+            curate_stream(stream, [near_dup_stage()])
+
     def test_matches_sequential_operator_application(self, spark):
         """curate == running the same operators as successive filters."""
         from valico_spark.operators.decontam import decontaminate

@@ -73,6 +73,13 @@ def set_stage(name: str,
     return Stage(name, "set", drop_ids)
 
 
+def _apply_row_stage(tagged: DataFrame, st: Stage) -> DataFrame:
+    pred = st.fn(tagged)
+    return tagged.withColumn(
+        _REASON,
+        F.coalesce(F.col(_REASON), F.when(pred, F.lit(st.name))))
+
+
 def curate(df: DataFrame, stages: list[Stage],
            id_col: str = "doc_id") \
         -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -101,11 +108,7 @@ def curate(df: DataFrame, stages: list[Stage],
     tagged = df.withColumn(_REASON, F.lit(None).cast("string"))
     for st in stages:
         if st.kind == "row":
-            pred = st.fn(tagged)
-            tagged = tagged.withColumn(
-                _REASON,
-                F.coalesce(F.col(_REASON),
-                           F.when(pred, F.lit(st.name))))
+            tagged = _apply_row_stage(tagged, st)
         elif st.kind == "set":
             survivors = (tagged.where(F.col(_REASON).isNull())
                                .drop(_REASON))
@@ -142,6 +145,53 @@ def curate(df: DataFrame, stages: list[Stage],
               .agg(F.count(F.lit(1)).alias("n_rows"))
               .orderBy(order_expr))
     return curated, tagged, report
+
+
+def curate_stream(stream_df: DataFrame, stages: list[Stage]) -> DataFrame:
+    """The in-flight curation tier: apply ROW stages to a streaming
+    DataFrame, returning the tagged stream (``drop_reason`` null =
+    kept). Row stages are pure projections, so the exact batch
+    expressions run unchanged per micro-batch — zero state, zero
+    shuffle, and batch/stream decisions cannot drift because they ARE
+    the same Column objects.
+
+    Set stages are REFUSED: a near-dup cluster or a contamination probe
+    is defined over a corpus snapshot, not a micro-batch, so computing
+    it in-stream would silently change semantics (per-batch dedup ≠
+    corpus dedup). The streaming posture for those is: run the row tier
+    in-flight (this function, dropping the bulk cheaply at ingest),
+    land the survivors, and run the set stages as the periodic batch
+    compaction over the landed table. For streaming EXACT dedup within
+    a bounded horizon, compose ``validate_stream.dedup_stream``
+    upstream of this tier.
+    """
+    bad = [s.name for s in stages if s.kind != "row"]
+    if bad:
+        raise ValueError(
+            f"curate_stream accepts row stages only; set stages {bad} "
+            "belong in the periodic batch compaction (see docstring)")
+    tagged = stream_df.withColumn(_REASON, F.lit(None).cast("string"))
+    for st in stages:
+        tagged = _apply_row_stage(tagged, st)
+    return tagged
+
+
+def stream_attrition_counts(tagged: DataFrame, time_col: str,
+                            window: str = "1 minute",
+                            watermark: str = "5 minutes") -> DataFrame:
+    """Watermark-windowed attrition monitoring over a tagged stream:
+    ``(window_start, window_end, stage, n_rows)`` per window — the
+    streaming analogue of ``curate``'s report (same one-aggregation
+    shape, state bounded by windows x stages)."""
+    return (tagged
+            .withWatermark(time_col, watermark)
+            .groupBy(F.window(time_col, window).alias("w"),
+                     F.coalesce(F.col(_REASON), F.lit("kept"))
+                      .alias("stage"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "stage", "n_rows"))
 
 
 # -- ready-made stage factories (the standard curation recipe) -----------
