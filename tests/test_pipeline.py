@@ -199,6 +199,35 @@ class TestSemantics:
         with pytest.raises(ValueError, match="row stages only"):
             curate_stream(stream, [near_dup_stage()])
 
+    def test_cli_curate_run(self, spark, tmp_path):
+        """--curate end-to-end on the real sf0.001 documents table:
+        tagged + curated parquet + report.json, counts consistent."""
+        import json
+        import os
+
+        import valico_spark.cli as cli
+
+        out = str(tmp_path / "out")
+        rc = cli.main(["--input",
+                       "/root/testdata/sf0.001/documents.parquet",
+                       "--curate", "--output-dir", out,
+                       "--min-quality", "0.3",
+                       "--langs", "en,de",
+                       "--near-dup",
+                       "--master", "local[4]"])
+        assert rc == 0
+        report = json.load(open(os.path.join(out, "report.json")))
+        tagged = spark.read.parquet(os.path.join(out, "tagged"))
+        curated = spark.read.parquet(os.path.join(out, "curated"))
+        assert report["input_rows"] == 500 == tagged.count()
+        assert curated.count() == report["kept_rows"]
+        assert (report["kept_rows"]
+                + sum(report["dropped"].values())) == 500
+        assert "drop_reason" in tagged.columns
+        assert "drop_reason" not in curated.columns
+        # the near-dup stage must have dropped something on this corpus
+        assert report["dropped"]["near_dup"] > 0
+
     def test_matches_sequential_operator_application(self, spark):
         """curate == running the same operators as successive filters."""
         from valico_spark.operators.decontam import decontaminate

@@ -26,6 +26,29 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--infer-only", action="store_true",
                     help="print a suggested draft-07 ruleset inferred "
                          "from --input (two bounded agg passes) and exit")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the curation pipeline (plans/pipeline.py) "
+                         "instead of an audit: writes tagged + curated "
+                         "parquet and an attrition report under "
+                         "--output-dir")
+    ap.add_argument("--output-dir",
+                    help="(--curate) output directory")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="(--curate) drop docs under this composite "
+                         "quality score")
+    ap.add_argument("--langs", default=None,
+                    help="(--curate) comma-separated language allowlist")
+    ap.add_argument("--blocklist-file", default=None,
+                    help="(--curate) file with one blocked domain per "
+                         "line")
+    ap.add_argument("--near-dup", action="store_true",
+                    help="(--curate) drop near-duplicates (MinHash-LSH "
+                         "with exact-dup pre-collapse, keep longest)")
+    ap.add_argument("--jaccard", type=float, default=0.8,
+                    help="(--curate) near-dup Jaccard threshold")
+    ap.add_argument("--benchmark", default=None,
+                    help="(--curate) benchmark parquet for 8-gram "
+                         "decontamination")
     ap.add_argument("--audit-dir")
     ap.add_argument("--run-id")
     ap.add_argument("--key", default="doc_id")
@@ -46,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         print(json.dumps(infer_ruleset(docs), indent=2, default=str))
         return 0
+    if args.curate:
+        if not args.output_dir:
+            ap.error("--curate requires --output-dir")
+        return _curate_main(args)
     if not (args.ruleset and args.audit_dir and args.run_id):
         ap.error("--ruleset, --audit-dir and --run-id are required "
                  "unless --infer-only")
@@ -69,6 +96,80 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({"run_id": args.run_id, "processed_buckets":
                       len(metrics), "total_docs": total,
                       "invalid_docs": bad}))
+    return 0
+
+
+def _curate_main(args) -> int:
+    """Curation run: ONE pipeline execution writes the tagged table;
+    the curated table and the attrition report derive from the WRITTEN
+    tagged parquet (two cheap scans) instead of re-executing the
+    pipeline lineage per output — at 100 TB re-running the dedup joins
+    to produce each artifact would triple the job."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from valico_spark.plans import pipeline as P
+    from valico_spark.session import get_spark
+
+    spark = get_spark("valico_curate", master=args.master)
+    docs = spark.read.parquet(args.input)
+
+    stages = []
+    if args.ruleset:
+        with open(args.ruleset) as f:
+            ruleset = json.load(f)
+        version = 2019 if args.version >= 2019 else 7
+        from valico_spark.compiler.columns import UnsupportedRule
+        try:
+            stages.append(P.invalid_stage(ruleset, docs.schema,
+                                          version=version))
+        except UnsupportedRule:
+            # walker-only ruleset: validate as a set stage (Arrow path)
+            from valico_spark.operators.validate import validate_dataframe
+
+            stages.append(P.set_stage(
+                "invalid",
+                lambda s: validate_dataframe(s, ruleset, version=version)
+                .where(~F.col("valid")).select(args.key)))
+    if args.min_quality is not None:
+        stages.append(P.low_quality_stage(args.min_quality))
+    if args.langs:
+        stages.append(P.wrong_lang_stage(args.langs.split(",")))
+    if args.blocklist_file:
+        with open(args.blocklist_file) as f:
+            domains = [ln.strip() for ln in f if ln.strip()]
+        stages.append(P.blocklist_stage(domains))
+    if args.near_dup:
+        stages.append(P.near_dup_stage(jaccard_threshold=args.jaccard,
+                                       id_col=args.key))
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        stages.append(P.decontam_stage(bench, id_col=args.key))
+    if not stages:
+        print("no curation stages configured; pass --ruleset / "
+              "--min-quality / --langs / --blocklist-file / --near-dup "
+              "/ --benchmark", file=sys.stderr)
+        return 2
+
+    _, tagged, _ = P.curate(docs, stages, id_col=args.key)
+    out = args.output_dir
+    tagged.write.mode("overwrite").parquet(os.path.join(out, "tagged"))
+    t = spark.read.parquet(os.path.join(out, "tagged"))
+    (t.where(F.col("drop_reason").isNull()).drop("drop_reason")
+      .write.mode("overwrite").parquet(os.path.join(out, "curated")))
+    counts = {r["stage"]: r["n"] for r in
+              t.groupBy(F.coalesce("drop_reason", F.lit("kept"))
+                         .alias("stage"))
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    report = {"input_rows": sum(counts.values()),
+              "kept_rows": counts.get("kept", 0),
+              "stages": [s.name for s in stages],
+              "dropped": {s.name: counts.get(s.name, 0)
+                          for s in stages}}
+    with open(os.path.join(out, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
     return 0
 
 
