@@ -45,6 +45,12 @@ class TestMixtureMath:
         assert set(rates) == {"a", "b"}
         assert rates["a"]["weight"] == pytest.approx(0.5)
 
+    def test_null_token_sum_is_missing_not_crash(self):
+        # F.sum over an all-null group returns None — must raise the
+        # diagnostic error, not TypeError on None <= 0
+        with pytest.raises(ValueError, match="no tokens"):
+            mixture_rates({"a": 100, "b": None}, {"a": 0.5, "b": 0.5})
+
     def test_missing_source_raises(self):
         with pytest.raises(ValueError, match="no tokens"):
             mixture_rates({"a": 100}, {"a": 0.5, "typo": 0.5})
@@ -121,3 +127,10 @@ class TestShuffleAndShards:
         assert (back.where(F.col("shard")
                            != shard_column("doc_id", 8, 0)).count()
                 == 0)
+
+    def test_write_shards_empty_corpus(self, spark, tmp_path):
+        """All-dropped corpus: the manifest read-back must return an
+        empty frame, not crash on schema inference over zero files."""
+        docs = _corpus(spark).where(F.lit(False))
+        manifest = write_shards(docs, str(tmp_path / "empty"), 4)
+        assert manifest.collect() == []

@@ -133,6 +133,18 @@ class TestSemantics:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_near_dup_stage_custom_id_col(self, spark):
+        """The id parameter must work for names other than 'doc_id'
+        (select_representatives emits 'doc_id' internally)."""
+        docs = spark.createDataFrame(
+            [(10, GOOD_EN), (20, GOOD_EN), (30, FRENCH)],
+            "page_id long, text string")
+        _, tagged, _ = curate(
+            docs, [near_dup_stage(n=5, id_col="page_id")],
+            id_col="page_id")
+        got = {r.page_id: r.drop_reason for r in tagged.collect()}
+        assert got == {10: None, 20: "near_dup", 30: None}
+
     def test_stage_validation(self, spark):
         docs = _corpus(spark)
         with pytest.raises(ValueError, match="unique"):

@@ -16,6 +16,11 @@ import json
 import sys
 
 
+def _norm_version(v: int) -> int:
+    """One place for the draft coercion rule (audit + curate paths)."""
+    return 2019 if v >= 2019 else 7
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="valico_spark")
     ap.add_argument("--input", required=True,
@@ -79,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
 
     with open(args.ruleset) as f:
         ruleset = json.load(f)
-    version = 2019 if args.version >= 2019 else 7
+    version = _norm_version(args.version)
 
     spark = get_spark(f"valico_audit_{args.run_id}", master=args.master)
     docs = spark.read.parquet(args.input)
@@ -119,7 +124,7 @@ def _curate_main(args) -> int:
     if args.ruleset:
         with open(args.ruleset) as f:
             ruleset = json.load(f)
-        version = 2019 if args.version >= 2019 else 7
+        version = _norm_version(args.version)
         from valico_spark.compiler.columns import UnsupportedRule
         try:
             stages.append(P.invalid_stage(ruleset, docs.schema,
@@ -135,7 +140,8 @@ def _curate_main(args) -> int:
     if args.min_quality is not None:
         stages.append(P.low_quality_stage(args.min_quality))
     if args.langs:
-        stages.append(P.wrong_lang_stage(args.langs.split(",")))
+        langs = [x.strip() for x in args.langs.split(",") if x.strip()]
+        stages.append(P.wrong_lang_stage(langs))
     if args.blocklist_file:
         with open(args.blocklist_file) as f:
             domains = [ln.strip() for ln in f if ln.strip()]

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from valico_spark.operators.sampling import _M31, sample_hash
+from valico_spark.operators.sampling import stratified_sample
 
 
 def mixture_rates(token_counts: dict[str, int],
@@ -46,6 +46,8 @@ def mixture_rates(token_counts: dict[str, int],
         raise ValueError("at least one source needs a positive weight")
     wsum = sum(pos.values())
     pos = {s: w / wsum for s, w in pos.items()}
+    # a source whose every row has NULL tokens sums to None — treat as 0
+    token_counts = {s: (t or 0) for s, t in token_counts.items()}
     missing = [s for s in pos if token_counts.get(s, 0) <= 0]
     if missing:
         raise ValueError(
@@ -83,11 +85,12 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                  .agg(F.sum(token_col).alias("t"))).collect()}
     rates = mixture_rates(counts, weights)
 
-    thr = F.lit(-1)
-    for s, info in sorted(rates.items()):
-        thr = F.when(F.col(source_col) == F.lit(s),
-                     F.lit(int(info["rate"] * _M31))).otherwise(thr)
-    sampled = df.where(sample_hash(F.col(id_col)) < thr)
+    # one keep/drop decision rule in the package: the per-stratum
+    # threshold chain lives in sampling.stratified_sample (unweighted
+    # sources get the default fraction 0.0 -> dropped)
+    sampled = stratified_sample(
+        df, id_col, source_col,
+        {s: info["rate"] for s, info in rates.items()})
 
     achieved = {r["s"]: r["t"] for r in
                 (sampled.groupBy(F.col(source_col).alias("s"))
@@ -140,6 +143,9 @@ def write_shards(df: DataFrame, path: str, n_shards: int,
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
-    return (df.sparkSession.read.parquet(path)
+    # explicit schema on the read-back: an all-dropped corpus writes
+    # only _SUCCESS, and schema inference over zero files would throw
+    # at the very end of an otherwise successful export
+    return (df.sparkSession.read.schema(out.schema).parquet(path)
               .groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
               .orderBy("shard"))

@@ -100,6 +100,14 @@ def curate(df: DataFrame, stages: list[Stage],
     dropped the row — identical to running the stages as successive
     filters, for the cost of one corpus scan plus one keyed join per
     set stage.
+
+    NULL ids: set stages drop by id EQUALITY, so a row whose
+    ``id_col`` is null can never be dropped by a set stage (null never
+    equi-joins). Corpora with nullable ids should lead with a row
+    stage — ``row_stage("null_id", lambda d: F.col(id_col).isNull())``
+    or a ruleset ``required`` — so null-id rows are tagged before any
+    set stage runs; a null-safe join here would instead merge every
+    null-id row into one drop decision, which is worse.
     """
     names = [s.name for s in stages]
     if len(set(names)) != len(names) or "kept" in names:
@@ -274,7 +282,9 @@ def near_dup_stage(jaccard_threshold: float = 0.8,
             scored, sc = survivors, score_col
         reps = select_representatives(clusters, scored, sc,
                                       id_col=id_col)
-        return reps.where(~F.col("keep")).select(id_col)
+        # select_representatives emits the id as "doc_id" regardless of
+        # the input id column name
+        return reps.where(~F.col("keep")).select("doc_id")
 
     return set_stage(name, drop_ids)
 
