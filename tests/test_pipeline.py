@@ -133,6 +133,35 @@ class TestSemantics:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
 
+    def test_bad_spans_and_semantic_dup_stages(self, spark):
+        """The span-invariant row stage and the embedding set stage
+        compose with the text stages in one pipeline."""
+        from valico_spark.plans.pipeline import (
+            bad_spans_stage, semantic_dup_stage)
+
+        rows = [
+            (1, GOOD_EN, [(0, "text"), (10, "image")], [1.0, 0.0]),
+            (2, GOOD_EN + " two", [(0, "text"), (5, "text")],
+             [0.999, 0.01]),                       # semantic dup of 1
+            (3, FRENCH, [(7, "text"), (3, "image")], [0.0, 1.0]),
+            (4, GOOD_EN + " four", [(2, "text")], None),  # null vec ok
+        ]
+        docs = spark.createDataFrame(
+            [(i, t, [{"offset": o, "kind": k, "text": "x",
+                      "media_ref": None} for o, k in sp], v)
+             for i, t, sp, v in rows],
+            "doc_id long, text string, spans array<struct<offset int, "
+            "kind string, text string, media_ref string>>, "
+            "embedding array<double>")
+        _, tagged, _ = curate(docs, [
+            bad_spans_stage(),
+            semantic_dup_stage(threshold=0.95,
+                               centroids=[[1.0, 0.0], [0.0, 1.0]]),
+        ])
+        got = {r.doc_id: r.drop_reason for r in tagged.collect()}
+        assert got == {1: None, 2: "semantic_dup", 3: "bad_spans",
+                       4: None}
+
     def test_near_dup_stage_custom_id_col(self, spark):
         """The id parameter must work for names other than 'doc_id'
         (select_representatives emits 'doc_id' internally)."""

@@ -289,6 +289,42 @@ def near_dup_stage(jaccard_threshold: float = 0.8,
     return set_stage(name, drop_ids)
 
 
+def bad_spans_stage(spans_col: str = "spans",
+                    name: str = "bad_spans") -> Stage:
+    """Drop interleaved documents whose span sequence violates the
+    offset-ordering invariant (spans.spans_strictly_increasing — the
+    north-rule per-document structural check) — row-local, fuses."""
+    from valico_spark.operators.spans import spans_strictly_increasing
+
+    return row_stage(
+        name,
+        lambda df: ~spans_strictly_increasing(F.col(spans_col)))
+
+
+def semantic_dup_stage(threshold: float = 0.95,
+                       id_col: str = "doc_id",
+                       vec_col: str = "embedding",
+                       centroids=None,
+                       n_centroids: int | None = None,
+                       name: str = "semantic_dup") -> Stage:
+    """Drop semantic near-duplicates by embedding similarity
+    (similarity.semantic_dedup, SemDeDup-style cell-blocked): every
+    vector with a lower-id neighbor at cosine >= threshold in its cell
+    is dropped, the lowest id per group survives. Requires ``vec_col``
+    on the corpus; rows with null embeddings are untouched (no vector,
+    no similarity evidence)."""
+    from valico_spark.operators.similarity import semantic_dedup
+
+    def drop_ids(survivors: DataFrame) -> DataFrame:
+        rep = semantic_dedup(
+            survivors.where(F.col(vec_col).isNotNull()),
+            threshold=threshold, id_col=id_col, vec_col=vec_col,
+            centroids=centroids, n_centroids=n_centroids)
+        return rep.select("dropped_id")
+
+    return set_stage(name, drop_ids)
+
+
 def decontam_stage(benchmark: DataFrame, n: int = 8,
                    max_contamination: float = 0.0,
                    id_col: str = "doc_id", text_col: str = "text",
