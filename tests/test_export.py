@@ -58,6 +58,41 @@ class TestMixtureMath:
             mixture_rates({"a": 100}, {"a": 0.0})
 
 
+class TestMixtureProperties:
+    """Driver-side mixture math holds for ANY corpus/weights (pure
+    python — no Spark in the loop, so hypothesis can hammer it)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.dictionaries(
+        st.sampled_from([f"s{i}" for i in range(8)]),
+        st.tuples(st.integers(min_value=1, max_value=10**12),
+                  st.floats(min_value=0.001, max_value=100.0)),
+        min_size=1, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_invariants(self, spec):
+        counts = {s: t for s, (t, _) in spec.items()}
+        weights = {s: w for s, (_, w) in spec.items()}
+        rates = mixture_rates(counts, weights)
+        wsum = sum(weights.values())
+        # every rate is a valid downsampling fraction
+        assert all(0 < i["rate"] <= 1.0 for i in rates.values())
+        # at least one source is binding (max feasible corpus)
+        assert any(i["rate"] > 1.0 - 1e-9 for i in rates.values())
+        # targets never exceed availability
+        assert all(i["target_tokens"] <= i["available_tokens"]
+                   for i in rates.values())
+        # target masses follow the normalized weights exactly
+        # (up to the int() floor on each target)
+        total = sum(i["target_tokens"] for i in rates.values())
+        if total > 0:
+            for s, i in rates.items():
+                assert abs(i["target_tokens"] / (total or 1)
+                           - weights[s] / wsum) <= 8 / max(total, 1) \
+                    + 1e-9 + weights[s] / wsum * 8 / max(total, 1)
+
+
 class TestMixtureSample:
     def test_achieves_targets_and_reports(self, spark):
         docs = _corpus(spark)

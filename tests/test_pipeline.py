@@ -269,6 +269,35 @@ class TestSemantics:
         # the near-dup stage must have dropped something on this corpus
         assert report["dropped"]["near_dup"] > 0
 
+    def test_cli_curate_mixture_shards(self, spark, tmp_path):
+        """Full raw-corpus -> dataloader path in one CLI call: curate,
+        mixture-sample (n_chars mass), shard-write with manifest."""
+        import json
+        import os
+
+        import valico_spark.cli as cli
+
+        out = str(tmp_path / "full")
+        rc = cli.main(["--input",
+                       "/root/testdata/sf0.001/documents.parquet",
+                       "--curate", "--output-dir", out,
+                       "--min-quality", "0.3",
+                       "--mixture", json.dumps(
+                           {f"src{i}": 1.0 for i in range(20)}),
+                       "--shards", "4",
+                       "--master", "local[4]"])
+        assert rc == 0
+        report = json.load(open(os.path.join(out, "report.json")))
+        # mixture: 20 equal-weight sources, one binding at rate 1.0
+        rates = {m["source"]: m["rate"] for m in report["mixture"]}
+        assert len(rates) == 20 and max(rates.values()) == 1.0
+        assert report["mixture_rows"] < report["kept_rows"]
+        # shards: manifest counts sum to the sampled rows and the
+        # parquet on disk agrees
+        assert sum(report["shards"].values()) == report["mixture_rows"]
+        back = spark.read.parquet(os.path.join(out, "shards"))
+        assert back.count() == report["mixture_rows"]
+
     def test_matches_sequential_operator_application(self, spark):
         """curate == running the same operators as successive filters."""
         from valico_spark.operators.decontam import decontaminate

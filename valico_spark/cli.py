@@ -54,6 +54,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="(--curate) benchmark parquet for 8-gram "
                          "decontamination")
+    ap.add_argument("--mixture", default=None,
+                    help="(--curate) JSON source->weight map: downsample "
+                         "the curated corpus to this token mixture "
+                         "(max-feasible-corpus rule, operators/export.py)")
+    ap.add_argument("--source-col", default="source",
+                    help="(--curate --mixture) source column")
+    ap.add_argument("--token-col", default="n_chars",
+                    help="(--curate --mixture) token-mass column")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="(--curate) also write the final corpus as N "
+                         "hash-balanced parquet shards with a manifest")
     ap.add_argument("--audit-dir")
     ap.add_argument("--run-id")
     ap.add_argument("--key", default="doc_id")
@@ -173,6 +184,32 @@ def _curate_main(args) -> int:
               "stages": [s.name for s in stages],
               "dropped": {s.name: counts.get(s.name, 0)
                           for s in stages}}
+
+    # optional export tail: curated -> mixture -> shards, each artifact
+    # derived from the previous WRITTEN table (one execution per tier)
+    final_path = os.path.join(out, "curated")
+    if args.mixture:
+        from valico_spark.operators.export import mixture_sample
+
+        weights = json.loads(args.mixture)
+        cur = spark.read.parquet(final_path)
+        sampled, mix_report = mixture_sample(
+            cur, weights, source_col=args.source_col,
+            id_col=args.key, token_col=args.token_col)
+        final_path = os.path.join(out, "mixture")
+        sampled.write.mode("overwrite").parquet(final_path)
+        report["mixture"] = [r.asDict() for r in mix_report.collect()]
+        report["mixture_rows"] = (
+            spark.read.parquet(final_path).count())
+    if args.shards:
+        from valico_spark.operators.export import write_shards
+
+        manifest = write_shards(spark.read.parquet(final_path),
+                                os.path.join(out, "shards"),
+                                args.shards, id_col=args.key)
+        report["shards"] = {int(r["shard"]): int(r["n_rows"])
+                           for r in manifest.collect()}
+
     with open(os.path.join(out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
