@@ -298,6 +298,30 @@ class TestSemantics:
         back = spark.read.parquet(os.path.join(out, "shards"))
         assert back.count() == report["mixture_rows"]
 
+    def test_cli_mixture_error_degrades_gracefully(self, spark,
+                                                   tmp_path):
+        """A weighted source absent from the curated corpus must not
+        crash the run after the expensive tiers: the diagnostic lands
+        in the report and shards fall back to the curated table."""
+        import json
+        import os
+
+        import valico_spark.cli as cli
+
+        out = str(tmp_path / "deg")
+        rc = cli.main(["--input",
+                       "/root/testdata/sf0.001/documents.parquet",
+                       "--curate", "--output-dir", out,
+                       "--min-quality", "0.3",
+                       "--mixture", json.dumps({"no_such_source": 1.0}),
+                       "--shards", "2",
+                       "--master", "local[4]"])
+        assert rc == 0
+        report = json.load(open(os.path.join(out, "report.json")))
+        assert "no tokens" in report["mixture_error"]
+        assert "mixture" not in report
+        assert sum(report["shards"].values()) == report["kept_rows"]
+
     def test_matches_sequential_operator_application(self, spark):
         """curate == running the same operators as successive filters."""
         from valico_spark.operators.decontam import decontaminate

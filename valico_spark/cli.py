@@ -193,14 +193,22 @@ def _curate_main(args) -> int:
 
         weights = json.loads(args.mixture)
         cur = spark.read.parquet(final_path)
-        sampled, mix_report = mixture_sample(
-            cur, weights, source_col=args.source_col,
-            id_col=args.key, token_col=args.token_col)
-        final_path = os.path.join(out, "mixture")
-        sampled.write.mode("overwrite").parquet(final_path)
-        report["mixture"] = [r.asDict() for r in mix_report.collect()]
-        report["mixture_rows"] = (
-            spark.read.parquet(final_path).count())
+        try:
+            sampled, mix_report = mixture_sample(
+                cur, weights, source_col=args.source_col,
+                id_col=args.key, token_col=args.token_col)
+        except ValueError as e:
+            # e.g. curation dropped a weighted source entirely — record
+            # the diagnostic and ship the curated corpus unsampled
+            # instead of crashing after all the expensive work
+            report["mixture_error"] = str(e)
+        else:
+            final_path = os.path.join(out, "mixture")
+            sampled.write.mode("overwrite").parquet(final_path)
+            report["mixture"] = [r.asDict()
+                                 for r in mix_report.collect()]
+            report["mixture_rows"] = (
+                spark.read.parquet(final_path).count())
     if args.shards:
         from valico_spark.operators.export import write_shards
 
