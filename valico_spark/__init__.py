@@ -21,6 +21,11 @@ Grape-style coercion DSL), re-expressed Spark-first:
 * **Training-data pipeline operators**: exact + MinHash-LSH + SimHash +
   n-gram-Jaccard + embedding-cosine dedup, ANN similarity search, text
   quality/language/token analysis, multimodal binary-column plumbing.
+* **Curation + export tiers** (`valico_spark.plans.pipeline`,
+  `valico_spark.operators.export`): composed sequential curation with
+  single-pass attrition accounting (batch, streaming row tier, CLI), and
+  the dataloader last mile — token-mixture sampling, deterministic
+  global shuffle, hash-balanced shard export.
 
 Reference parity citations use ``/root/reference/<file>:<line>``.
 """
