@@ -162,6 +162,29 @@ class TestSemantics:
         assert got == {1: None, 2: "semantic_dup", 3: "bad_spans",
                        4: None}
 
+    def test_bad_media_stage(self, spark):
+        from valico_spark.plans.pipeline import bad_media_stage
+
+        rows = [
+            (1, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"jpegdata"),
+            (2, b"\x89PNG\r\n\x1a\nxxxx"),
+            (3, b"not a known magic"),
+            (4, None),
+        ]
+        docs = spark.createDataFrame(rows,
+                                     "doc_id long, payload binary")
+        _, tagged, _ = curate(docs, [
+            bad_media_stage(allowed_types=["image/jpeg", "image/png"]),
+        ])
+        got = {r.doc_id: r.drop_reason for r in tagged.collect()}
+        assert got == {1: None, 2: None, 3: "bad_media", 4: "bad_media"}
+        # restricting the allowlist drops the png too
+        _, tagged2, _ = curate(docs, [
+            bad_media_stage(allowed_types=["image/jpeg"]),
+        ])
+        got2 = {r.doc_id: r.drop_reason for r in tagged2.collect()}
+        assert got2[2] == "bad_media" and got2[1] is None
+
     def test_near_dup_stage_custom_id_col(self, spark):
         """The id parameter must work for names other than 'doc_id'
         (select_representatives emits 'doc_id' internally)."""

@@ -325,6 +325,26 @@ def semantic_dup_stage(threshold: float = 0.95,
     return set_stage(name, drop_ids)
 
 
+def bad_media_stage(payload_col: str = "payload",
+                    allowed_types: list[str] | None = None,
+                    name: str = "bad_media") -> Stage:
+    """Drop rows whose binary payload fails magic-number sniffing
+    (multimodal.sniff_media_type — pure JVM expression, fuses) or
+    sniffs to a type outside ``allowed_types``. Null payloads are
+    dropped too: a media row without bytes is malformed by definition
+    here; text-only corpora simply omit this stage."""
+    from valico_spark.operators.multimodal import sniff_media_type
+
+    def pred(df: DataFrame) -> Column:
+        sniffed = sniff_media_type(F.col(payload_col))
+        bad = sniffed.isNull()
+        if allowed_types is not None:
+            bad = bad | ~sniffed.isin(list(allowed_types))
+        return F.col(payload_col).isNull() | bad
+
+    return row_stage(name, pred)
+
+
 def decontam_stage(benchmark: DataFrame, n: int = 8,
                    max_contamination: float = 0.0,
                    id_col: str = "doc_id", text_col: str = "text",
