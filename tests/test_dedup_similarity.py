@@ -539,3 +539,83 @@ class TestParagraphDedup:
         assert out["b"]["text"] == "unique-b"
         assert (out["b"]["n_paragraphs"], out["b"]["n_dropped"]) == (3, 2)
         assert out["c"]["text"] == "unique-c"
+
+
+class TestExactSubstringSpans:
+    """repeated_ngram_spans / remove_repeated_spans (Lee et al. 2022
+    exact-substring dedup, word-granularity)."""
+
+    BOILER = ("the quick brown fox jumps over the lazy dog while "
+              "seventeen purple crows watch")  # 14 words
+
+    def _docs(self, spark):
+        rows = [
+            (1, "alpha beta " + self.BOILER + " gamma delta"),
+            (2, "one two three " + self.BOILER + " four five six"),
+            (3, "totally unrelated text with nothing repeated in it "
+                "at all not even close"),
+            (4, "tiny doc"),
+            (5, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_spans_mark_later_copy_only(self, spark):
+        from valico_spark.operators.dedup import repeated_ngram_spans
+
+        spans = repeated_ngram_spans(self._docs(spark), n=10) \
+            .collect()
+        # keep_first: doc 1 holds every gram's (min doc_id, pos) winner
+        assert {r.doc_id for r in spans} == {2}
+        (s,) = spans
+        # boilerplate starts at word 3 of doc 2, 14 words long; the 5
+        # overlapping marked 10-grams merge to ONE maximal interval
+        assert (s.start, s.end) == (3, 17)
+
+    def test_keep_first_false_marks_both(self, spark):
+        from valico_spark.operators.dedup import repeated_ngram_spans
+
+        spans = repeated_ngram_spans(self._docs(spark), n=10,
+                                     keep_first=False).collect()
+        got = {(r.doc_id, r.start, r.end) for r in spans}
+        assert got == {(1, 2, 16), (2, 3, 17)}
+
+    def test_min_count_threshold(self, spark):
+        from valico_spark.operators.dedup import repeated_ngram_spans
+
+        assert repeated_ngram_spans(self._docs(spark), n=10,
+                                    min_count=3).count() == 0
+
+    def test_remove_rewrites_only_marked_docs(self, spark):
+        from valico_spark.operators.dedup import remove_repeated_spans
+
+        out = {r.doc_id: r for r in
+               remove_repeated_spans(self._docs(spark), n=10).collect()}
+        assert out[2].text == "one two three four five six"
+        assert out[2].n_removed == 14 and out[2].n_words == 20
+        # untouched docs keep their text verbatim (no normalization)
+        src = {r.doc_id: r.text for r in self._docs(spark).collect()}
+        for d in (1, 3, 4):
+            assert out[d].text == src[d] and out[d].n_removed == 0
+        assert out[5].text is None and out[5].n_words == 0
+
+    def test_intra_doc_repeat_keeps_first_occurrence(self, spark):
+        from valico_spark.operators.dedup import remove_repeated_spans
+
+        filler = ("completely different middle section words here "
+                  "that pad things out nicely")  # 11 words
+        text = self.BOILER + " " + filler + " " + self.BOILER
+        df = spark.createDataFrame([(7, text)],
+                                   "doc_id long, text string")
+        (r,) = remove_repeated_spans(df, n=10).collect()
+        assert r.text == self.BOILER + " " + filler
+        assert r.n_removed == 14
+
+    def test_validation_errors(self, spark):
+        import pytest as _pt
+
+        from valico_spark.operators.dedup import repeated_ngram_spans
+
+        with _pt.raises(ValueError):
+            repeated_ngram_spans(self._docs(spark), n=1)
+        with _pt.raises(ValueError):
+            repeated_ngram_spans(self._docs(spark), min_count=1)

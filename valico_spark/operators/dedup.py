@@ -775,3 +775,139 @@ def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
                        .alias("n_paragraphs"),
                       F.coalesce("n_dropped", F.lit(0)).cast("long")
                        .alias("n_dropped")))
+
+
+# -- Exact-substring dedup (repeated n-gram spans) ---------------------------
+
+def _merged_repeated_spans(df: DataFrame, n: int, min_count: int,
+                           keep_first: bool, id_col: str,
+                           text_col: str) -> DataFrame:
+    """(id, ivs) with ivs = merged, sorted word-index intervals
+    [start, end) covering every marked occurrence of a duplicated
+    n-word gram. Shared plan for the span report and the remover."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (a 1-gram span check is a "
+                         "stop-word filter, not substring dedup)")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would mark every gram")
+
+    from valico_spark.operators.text import tokens
+
+    # word hashes once per doc; gram hash = xxhash64 over the n-long
+    # slice of word hashes (longs, not strings — the slice+hash is the
+    # O(n)-per-position constant documented in the public docstring)
+    words = (df.select(F.col(id_col).alias("id"),
+                       F.transform(tokens(F.col(text_col)),
+                                   lambda t: F.xxhash64(t)).alias("wh"))
+               .where(F.size("wh") >= n))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("wh") - n),
+        lambda i: F.xxhash64(F.slice("wh", i + 1, n)))
+    pos = words.select("id", F.posexplode(grams).alias("pos", "gram"))
+
+    # ONE map-side-combined aggregation carries both the corpus count
+    # and the keep_first winner; the join back matches each position to
+    # exactly one stats row, so a gram repeated 10^6 times costs a
+    # 10^6-row streamed join partition, never a pair blow-up.
+    stats = (pos.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.min(F.struct("id", "pos")).alias("first_occ"))
+                .where(F.col("cnt") >= min_count))
+    marked = pos.join(stats, "gram")
+    if keep_first:
+        marked = marked.where(
+            F.struct("id", "pos") != F.col("first_occ"))
+    spans = marked.select(
+        "id", F.col("pos").alias("start"),
+        (F.col("pos") + F.lit(n)).alias("end"))
+
+    # per-doc interval merge — collect_list is bounded by the doc's own
+    # word count; the merge fold is pure codegen-free HOF but per-row
+    merged = spans.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "end")))
+         .alias("raw"))
+    empty = F.array().cast("array<struct<start:int,end:int>>")
+
+    def _fold(acc, x):
+        last = F.element_at(acc, -1)
+        overlaps = (F.size(acc) > 0) & (x["start"] <= last["end"])
+        widened = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(
+                last["start"].alias("start"),
+                F.greatest(last["end"], x["end"]).alias("end"))))
+        return F.when(overlaps, widened) \
+                .otherwise(F.concat(acc, F.array(x)))
+
+    return merged.select(
+        "id", F.aggregate("raw", empty, _fold).alias("ivs"))
+
+
+def repeated_ngram_spans(df: DataFrame, n: int = 10,
+                         min_count: int = 2, keep_first: bool = True,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): word-index intervals
+    ``(doc_id, start, end)`` — end exclusive — covering every occurrence
+    of an ``n``-word gram that appears >= ``min_count`` times across the
+    corpus. ``keep_first`` exempts, per gram, the occurrence with the
+    smallest ``(doc_id, start)`` — so a passage duplicated verbatim
+    survives WHOLE in its first document (every one of its grams has its
+    minimum there) and is marked everywhere else. Overlapping marked
+    grams merge into maximal intervals.
+
+    Scale shape (all linear in corpus words, no pair join anywhere):
+    one posexplode of per-position gram hashes, ONE map-side-combined
+    groupBy(gram) carrying count + winner, one long-keyed join back, one
+    per-doc merge bounded by doc length. The reference's suffix-array
+    construction is single-node; this is the Spark-native equivalent
+    with an O(n)-per-position hashing constant (slice of per-word
+    xxhash64 longs) instead of O(1) suffix-array lookups — the trade
+    that makes it one shuffle end-to-end. Gram-hash collisions mark a
+    false span with p ~ positions^2 / 2^64 — immaterial at 10^12 docs'
+    risk budget, and only ever removes (never corrupts) text.
+
+    Caveat: with ``keep_first``, PARTIALLY overlapping duplicated
+    passages can still slice the retained copy (a gram's winner is
+    global, not per-passage); exact Lee-et-al. semantics (remove every
+    copy, period) is ``keep_first=False``.
+    """
+    ivs = _merged_repeated_spans(df, n, min_count, keep_first,
+                                 id_col, text_col)
+    return (ivs.select("id", F.explode("ivs").alias("iv"))
+               .select(F.col("id").alias(id_col),
+                       F.col("iv.start").alias("start"),
+                       F.col("iv.end").alias("end")))
+
+
+def remove_repeated_spans(df: DataFrame, n: int = 10,
+                          min_count: int = 2, keep_first: bool = True,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Rewrite the corpus with duplicated n-gram spans removed:
+    ``(doc_id, text, n_words, n_removed)``. Documents with no marked
+    span (including null/short texts) come back with their text
+    VERBATIM; rewritten documents are reassembled from the surviving
+    words with single spaces (the same whitespace normalization as
+    every tokens()-based operator in this module).
+    """
+    from valico_spark.operators.text import tokens
+
+    ivs = _merged_repeated_spans(df, n, min_count, keep_first,
+                                 id_col, text_col) \
+        .withColumnRenamed("id", id_col)
+    w = tokens(F.col(text_col))
+    kept = F.filter(w, lambda x, i: ~F.exists(
+        F.col("ivs"), lambda iv: (i >= iv["start"]) & (i < iv["end"])))
+    untouched = F.col("ivs").isNull()
+    return (df.join(ivs, id_col, "left")
+              .select(
+                  F.col(id_col),
+                  F.when(untouched, F.col(text_col))
+                   .otherwise(F.array_join(kept, " ")).alias(text_col),
+                  F.coalesce(F.size(w), F.lit(0)).cast("long")
+                   .alias("n_words"),
+                  F.when(untouched, F.lit(0))
+                   .otherwise(F.size(w) - F.size(kept)).cast("long")
+                   .alias("n_removed")))
