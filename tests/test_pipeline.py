@@ -321,6 +321,46 @@ class TestSemantics:
         back = spark.read.parquet(os.path.join(out, "shards"))
         assert back.count() == report["mixture_rows"]
 
+    def test_cli_remove_repeated_spans_tail(self, spark, tmp_path):
+        """--remove-repeated-spans rewrites the curated corpus (exact-
+        substring dedup) and later tiers consume the despanned table."""
+        import json
+        import os
+
+        import valico_spark.cli as cli
+
+        boiler = ("the quick brown fox jumps over the lazy dog while "
+                  "seventeen purple crows watch")  # 14 words
+        rows = [(1, "alpha beta " + boiler, "s"),
+                (2, "one two three " + boiler + " four", "s"),
+                (3, "completely unique words with no internal "
+                    "repetition whatsoever in this document at all",
+                 "s")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        src = str(tmp_path / "in")
+        docs.write.parquet(src)
+        out = str(tmp_path / "spans")
+        rc = cli.main(["--input", src, "--curate", "--output-dir", out,
+                       "--min-quality", "0.0",
+                       "--remove-repeated-spans", "10",
+                       "--shards", "2",
+                       "--master", "local[4]"])
+        assert rc == 0
+        report = json.load(open(os.path.join(out, "report.json")))
+        assert report["repeated_spans"] == {
+            "n": 10, "docs": 3, "docs_rewritten": 1,
+            "words_removed": 14}
+        desp = {r.doc_id: r for r in spark.read.parquet(
+            os.path.join(out, "despanned")).collect()}
+        # keep-first: doc 1 keeps the boilerplate whole, doc 2 loses it
+        assert desp[1].text == "alpha beta " + boiler
+        assert desp[2].text == "one two three four"
+        # shards derive from the despanned table
+        assert sum(report["shards"].values()) == 3
+        back = spark.read.parquet(os.path.join(out, "shards"))
+        assert "n_removed" in back.columns and back.count() == 3
+
     def test_cli_mixture_error_degrades_gracefully(self, spark,
                                                    tmp_path):
         """A weighted source absent from the curated corpus must not

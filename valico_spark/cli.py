@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="(--curate) benchmark parquet for 8-gram "
                          "decontamination")
+    ap.add_argument("--remove-repeated-spans", type=int, default=None,
+                    metavar="N",
+                    help="rewrite the curated corpus with corpus-"
+                         "duplicated N-word spans removed (exact-"
+                         "substring dedup, keep-first semantics)")
     ap.add_argument("--mixture", default=None,
                     help="(--curate) JSON source->weight map: downsample "
                          "the curated corpus to this token mixture "
@@ -185,9 +190,35 @@ def _curate_main(args) -> int:
               "dropped": {s.name: counts.get(s.name, 0)
                           for s in stages}}
 
-    # optional export tail: curated -> mixture -> shards, each artifact
-    # derived from the previous WRITTEN table (one execution per tier)
+    # optional export tail: curated -> despanned -> mixture -> shards,
+    # each artifact derived from the previous WRITTEN table (one
+    # execution per tier)
     final_path = os.path.join(out, "curated")
+    if args.remove_repeated_spans:
+        from valico_spark.operators.dedup import remove_repeated_spans
+
+        try:
+            cleaned = remove_repeated_spans(
+                spark.read.parquet(final_path),
+                n=args.remove_repeated_spans, id_col=args.key)
+        except ValueError as e:
+            # e.g. the input corpus carries clashing stat columns —
+            # record the diagnostic, ship the curated corpus unrewritten
+            report["repeated_spans_error"] = str(e)
+        else:
+            final_path = os.path.join(out, "despanned")
+            cleaned.write.mode("overwrite").parquet(final_path)
+            stats = (spark.read.parquet(final_path)
+                     .agg(F.count(F.lit(1)).alias("docs"),
+                          F.sum((F.col("n_removed") > 0).cast("long"))
+                           .alias("docs_rewritten"),
+                          F.sum("n_removed").alias("words_removed"))
+                     .collect()[0])
+            report["repeated_spans"] = {
+                "n": args.remove_repeated_spans,
+                "docs": int(stats["docs"]),
+                "docs_rewritten": int(stats["docs_rewritten"] or 0),
+                "words_removed": int(stats["words_removed"] or 0)}
     if args.mixture:
         from valico_spark.operators.export import mixture_sample
 

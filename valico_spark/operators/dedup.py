@@ -885,15 +885,21 @@ def remove_repeated_spans(df: DataFrame, n: int = 10,
                           min_count: int = 2, keep_first: bool = True,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
-    """Rewrite the corpus with duplicated n-gram spans removed:
-    ``(doc_id, text, n_words, n_removed)``. Documents with no marked
-    span (including null/short texts) come back with their text
-    VERBATIM; rewritten documents are reassembled from the surviving
-    words with single spaces (the same whitespace normalization as
-    every tokens()-based operator in this module).
+    """Rewrite the corpus with duplicated n-gram spans removed: every
+    input column passes through unchanged except ``text_col`` (replaced
+    in place), plus appended ``n_words`` / ``n_removed`` stats.
+    Documents with no marked span (including null/short texts) come
+    back with their text VERBATIM; rewritten documents are reassembled
+    from the surviving words with single spaces (the same whitespace
+    normalization as every tokens()-based operator in this module) —
+    derived columns like char counts are the caller's to refresh.
     """
     from valico_spark.operators.text import tokens
 
+    clash = {"n_words", "n_removed"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has stat columns {sorted(clash)}"
+                         " — rename them before remove_repeated_spans")
     ivs = _merged_repeated_spans(df, n, min_count, keep_first,
                                  id_col, text_col) \
         .withColumnRenamed("id", id_col)
@@ -901,9 +907,10 @@ def remove_repeated_spans(df: DataFrame, n: int = 10,
     kept = F.filter(w, lambda x, i: ~F.exists(
         F.col("ivs"), lambda iv: (i >= iv["start"]) & (i < iv["end"])))
     untouched = F.col("ivs").isNull()
+    passthrough = [F.col(c) for c in df.columns if c != text_col]
     return (df.join(ivs, id_col, "left")
               .select(
-                  F.col(id_col),
+                  *passthrough,
                   F.when(untouched, F.col(text_col))
                    .otherwise(F.array_join(kept, " ")).alias(text_col),
                   F.coalesce(F.size(w), F.lit(0)).cast("long")
