@@ -619,3 +619,72 @@ class TestExactSubstringSpans:
             repeated_ngram_spans(self._docs(spark), n=1)
         with _pt.raises(ValueError):
             repeated_ngram_spans(self._docs(spark), min_count=1)
+
+
+class TestExactSubstringRandomizedParity:
+    """remove_repeated_spans vs a brute-force Python oracle on seeded
+    random corpora. An 8-word vocabulary at n=3 makes duplicated grams,
+    overlapping/adjacent interval merges, intra-doc repeats, and
+    keep_first winner ties-by-position all common instead of crafted."""
+
+    @staticmethod
+    def _oracle(rows, n, min_count, keep_first):
+        toks = {i: (t.split() if t else []) for i, t in rows}
+        occ = {}
+        for i, t in sorted(toks.items()):
+            for p in range(len(t) - n + 1):
+                occ.setdefault(tuple(t[p:p + n]), []).append((i, p))
+        spans = {}
+        for g, positions in occ.items():
+            if len(positions) < min_count:
+                continue
+            first = min(positions)
+            for i, p in positions:
+                if keep_first and (i, p) == first:
+                    continue
+                spans.setdefault(i, []).append((p, p + n))
+        out = {}
+        for i, t in rows:
+            ivs = sorted(spans.get(i, []))
+            merged = []
+            for s, e in ivs:
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            w = toks[i]
+            if not merged:
+                out[i] = (t, len(w), 0)
+            else:
+                kept = [x for j, x in enumerate(w)
+                        if not any(s <= j < e for s, e in merged)]
+                out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+        return out
+
+    def test_parity_on_seeded_corpora(self, spark):
+        import random
+
+        from valico_spark.operators.dedup import remove_repeated_spans
+
+        vocab = ["ax", "bo", "cu", "dee", "eff", "gee", "ha", "iy"]
+        for seed in range(12):
+            rng = random.Random(seed)
+            n = rng.choice([2, 3, 4])
+            min_count = rng.choice([2, 2, 3])
+            keep_first = rng.random() < 0.5
+            rows = []
+            for i in range(rng.randint(5, 12)):
+                if rng.random() < 0.1:
+                    rows.append((i, None if rng.random() < 0.5 else ""))
+                    continue
+                words = [rng.choice(vocab)
+                         for _ in range(rng.randint(0, 25))]
+                rows.append((i, " ".join(words)))
+            df = spark.createDataFrame(rows,
+                                       "doc_id long, text string")
+            got = {r.doc_id: (r.text, r.n_words, r.n_removed)
+                   for r in remove_repeated_spans(
+                       df, n=n, min_count=min_count,
+                       keep_first=keep_first).collect()}
+            want = self._oracle(rows, n, min_count, keep_first)
+            assert got == want, (seed, n, min_count, keep_first)
