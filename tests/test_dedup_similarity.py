@@ -688,3 +688,94 @@ class TestExactSubstringRandomizedParity:
                        keep_first=keep_first).collect()}
             want = self._oracle(rows, n, min_count, keep_first)
             assert got == want, (seed, n, min_count, keep_first)
+
+
+class TestIncrementalMinhash:
+    """minhash_band_index / minhash_incremental: dedup a new batch
+    against a persisted band index without re-banding history."""
+
+    @staticmethod
+    def _corpus(seed, n_docs, id_base):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        texts = []
+        for i in range(n_docs):
+            words = [rng.choice(vocab) for _ in range(30)]
+            texts.append(words)
+            rows.append((id_base + i, " ".join(words)))
+            if rng.random() < 0.35 and texts:
+                # near-dup of an earlier doc (same run): mutate 1 word
+                src = list(rng.choice(texts))
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+                n_docs_so_far = len(rows)
+                rows.append((id_base + n_docs + n_docs_so_far,
+                             " ".join(src)))
+        return rows
+
+    def _frames(self, spark, seed=3):
+        old = self._corpus(seed, 12, 1000)
+        new = self._corpus(seed + 100, 8, 5000)
+        # one new doc is a near-dup of an old doc (cross-run dup)
+        new.append((5999, old[0][1]))
+        schema = "doc_id long, text string"
+        return (spark.createDataFrame(old, schema),
+                spark.createDataFrame(new, schema))
+
+    def test_decomposition_invariant(self, spark):
+        from valico_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental,
+            minhash_lsh_candidates)
+
+        old_df, new_df = self._frames(spark)
+        full = {(r.a_id, r.b_id) for r in minhash_lsh_candidates(
+            old_df.unionByName(new_df)).collect()}
+        old_pairs = {(r.a_id, r.b_id)
+                     for r in minhash_lsh_candidates(old_df).collect()}
+        idx = minhash_band_index(old_df)
+        cand, _ = minhash_incremental(new_df, idx)
+        got = {(min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+               for r in cand.collect()}
+        want = {(min(a, b), max(a, b)) for a, b in full} - \
+               {(min(a, b), max(a, b)) for a, b in old_pairs}
+        assert got == want and len(got) > 0
+
+    def test_increment_matches_index_of_batch(self, spark):
+        from valico_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental)
+
+        old_df, new_df = self._frames(spark)
+        _, inc = minhash_incremental(new_df, minhash_band_index(old_df))
+        direct = minhash_band_index(new_df)
+        assert ({tuple(r) for r in inc.collect()}
+                == {tuple(r) for r in direct.collect()})
+
+    def test_reprocessed_batch_never_self_pairs(self, spark):
+        from valico_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental)
+
+        old_df, _ = self._frames(spark)
+        idx = minhash_band_index(old_df)
+        cand, _ = minhash_incremental(old_df, idx)  # replay history
+        hist = cand.where("vs = 'history'").collect()
+        assert all(r.a_id != r.b_id for r in hist)
+
+    def test_verify_passes_vs_through(self, spark):
+        from valico_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental,
+            verify_jaccard_candidates)
+
+        old_df, new_df = self._frames(spark)
+        cand, _ = minhash_incremental(new_df, minhash_band_index(old_df))
+        docs = old_df.unionByName(new_df)
+        verified = verify_jaccard_candidates(cand, docs,
+                                             jaccard_threshold=0.8)
+        rows = verified.collect()
+        assert rows and set(verified.columns) == {"a_id", "b_id", "vs",
+                                                  "jaccard"}
+        # the planted cross-run exact dup must verify at jaccard 1.0
+        assert any(r.vs == "history" and r.b_id == 5999
+                   and r.jaccard == 1.0 for r in rows)
+        assert all(r.jaccard >= 0.8 for r in rows)

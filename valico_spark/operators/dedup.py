@@ -404,43 +404,27 @@ def band_bucket_portable(sig_slice: Column) -> Column:
         lambda acc, x: F.pmod(acc * F.lit(131) + x, F.lit(MERSENNE31)))
 
 
-def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
-                           bands: int = 8, n: int = 5, seed: int = 17,
-                           id_col: str = "doc_id",
-                           text_col: str = "text",
-                           portable: bool = False,
-                           max_bucket_size: int | None = 10_000
-                           ) -> DataFrame:
-    """Candidate duplicate pairs: docs sharing ≥1 MinHash band bucket.
+def _minhash_banded(df: DataFrame, num_hashes: int, bands: int, n: int,
+                    seed: int, id_col: str, text_col: str,
+                    portable: bool, max_bucket_size: int | None,
+                    op_name: str) -> DataFrame:
+    """Shared banding stage: ``(id, band, bucket)`` per eligible doc.
 
-    rows-per-band = num_hashes // bands; the (band, bucket-hash) groupBy
-    is the only wide stage. Distinct pairs are emitted with a_id < b_id.
-    ``portable=True`` uses md5-derived base hashes and the fold bucket so
-    the whole candidate set is reproducible in DuckDB SQL.
-
-    Hot-bucket guard: a band bucket with c members emits c^2/2 pairs —
-    at web scale exact-duplicate clusters (which share EVERY bucket)
-    make single buckets of 10^4+ docs, the silent 100x job-killer. The
-    plan asserts every (band, bucket) group ≤ ``max_bucket_size`` (a
-    window count under the join's own hash partitioning — no extra
-    corpus exchange) and FAILS LOUDLY pointing at the fix:
-    :func:`collapse_exact` first (``precollapse_exact=True`` on the
-    pipeline entry points). ``None`` disables the rail.
+    DEGENERATE-SIGNATURE exclusion: a doc with no shingles (null/short
+    text) folds to the init array, so EVERY such doc shares EVERY band
+    bucket — on a web corpus (empty pages are common) that is one more
+    mega-bucket. Dropping them loses nothing: an empty shingle set has
+    jaccard 0 with everything (incl. other empties — 0/max(union,1)),
+    so no verified pair can ever contain one; and the SQL oracle's
+    unnest() already excludes zero-shingle docs, so this ALIGNS the
+    engines rather than diverging them. The predicate is the CHEAP
+    source-side equivalent of ``size(__base) > 0`` (char_shingles
+    emits empty exactly when text is null or shorter than n): a
+    post-projection filter on size(__base) gets pushed below the
+    projection and inlines the md5/xxhash base expression into the
+    filter — measured 3x on the banded queries.
     """
     rows = num_hashes // bands
-    # DEGENERATE-SIGNATURE exclusion: a doc with no shingles (null/short
-    # text) folds to the init array, so EVERY such doc shares EVERY band
-    # bucket — on a web corpus (empty pages are common) that is one more
-    # mega-bucket. Dropping them loses nothing: an empty shingle set has
-    # jaccard 0 with everything (incl. other empties — 0/max(union,1)),
-    # so no verified pair can ever contain one; and the SQL oracle's
-    # unnest() already excludes zero-shingle docs, so this ALIGNS the
-    # engines rather than diverging them. The predicate is the CHEAP
-    # source-side equivalent of ``size(__base) > 0`` (char_shingles
-    # emits empty exactly when text is null or shorter than n): a
-    # post-projection filter on size(__base) gets pushed below the
-    # projection and inlines the md5/xxhash base expression into the
-    # filter — measured 3x on the banded queries.
     src = ensure_min_partitions(df).where(
         F.col(text_col).isNotNull() & (F.length(text_col) >= n))
     # two-step projection: base hashes materialize once, then the K-way
@@ -465,10 +449,38 @@ def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
                 F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
         banded = cap_group_size(
-            banded, ["band", "bucket"], max_bucket_size,
-            "minhash_lsh_candidates",
+            banded, ["band", "bucket"], max_bucket_size, op_name,
             "pre-collapse exact duplicates first (collapse_exact / "
             "precollapse_exact=True) or raise max_bucket_size")
+    return banded
+
+
+def minhash_lsh_candidates(df: DataFrame, num_hashes: int = 32,
+                           bands: int = 8, n: int = 5, seed: int = 17,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           portable: bool = False,
+                           max_bucket_size: int | None = 10_000
+                           ) -> DataFrame:
+    """Candidate duplicate pairs: docs sharing ≥1 MinHash band bucket.
+
+    rows-per-band = num_hashes // bands; the (band, bucket-hash) groupBy
+    is the only wide stage. Distinct pairs are emitted with a_id < b_id.
+    ``portable=True`` uses md5-derived base hashes and the fold bucket so
+    the whole candidate set is reproducible in DuckDB SQL.
+
+    Hot-bucket guard: a band bucket with c members emits c^2/2 pairs —
+    at web scale exact-duplicate clusters (which share EVERY bucket)
+    make single buckets of 10^4+ docs, the silent 100x job-killer. The
+    plan asserts every (band, bucket) group ≤ ``max_bucket_size`` (a
+    window count under the join's own hash partitioning — no extra
+    corpus exchange) and FAILS LOUDLY pointing at the fix:
+    :func:`collapse_exact` first (``precollapse_exact=True`` on the
+    pipeline entry points). ``None`` disables the rail.
+    """
+    banded = _minhash_banded(df, num_hashes, bands, n, seed, id_col,
+                             text_col, portable, max_bucket_size,
+                             "minhash_lsh_candidates")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (left.join(right, ["band", "bucket"])
@@ -515,7 +527,28 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
         minhash_lsh_candidates(df, num_hashes, bands, n, seed,
                                id_col, text_col, portable=portable,
                                max_bucket_size=max_bucket_size))
-    sh = ensure_min_partitions(df).select(
+    return verify_jaccard_candidates(cand, df, jaccard_threshold, n,
+                                     id_col, text_col)
+
+
+def verify_jaccard_candidates(cand: DataFrame, docs: DataFrame,
+                              jaccard_threshold: float = 0.8,
+                              n: int = 5, id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Exact char-n-gram Jaccard verification of an ``(a_id, b_id)``
+    candidate-pair table against ``docs`` (which must hold text for
+    every id appearing in the pairs — for incremental runs, union the
+    new batch with the candidate-touched slice of the historical
+    store). Any extra candidate columns (e.g. ``vs``) pass through.
+
+    Scale shape: the corpus-sized shingle table is never broadcast — it
+    is semi-join-filtered down to candidate-touched docs first, then
+    joined to the pair table with plain shuffle joins keyed on the doc
+    id; AQE may still choose a runtime broadcast, but only when the
+    FILTERED side measures small.
+    """
+    extra = [c for c in cand.columns if c not in ("a_id", "b_id")]
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
                     .union(cand.select(F.col("b_id").alias(id_col)))
@@ -532,7 +565,89 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
     return (joined.withColumn("jaccard",
                               inter / F.greatest(union, F.lit(1)))
                   .where(F.col("jaccard") >= jaccard_threshold)
-                  .select("a_id", "b_id", "jaccard"))
+                  .select("a_id", "b_id", *extra, "jaccard"))
+
+
+# -- Incremental MinHash (batch vs persisted band index) ---------------------
+
+def minhash_band_index(df: DataFrame, num_hashes: int = 32,
+                       bands: int = 8, n: int = 5, seed: int = 17,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       portable: bool = False,
+                       max_bucket_size: int | None = 10_000) -> DataFrame:
+    """``(doc_id, band, bucket)`` LSH index relation of a corpus — the
+    artifact a continuously-growing corpus PERSISTS (bucketed parquet /
+    Iceberg on (band, bucket) at scale) so each new crawl batch dedups
+    against history without re-banding it. Build it from a
+    :func:`collapse_exact`-collapsed corpus: the group-size rail here
+    bounds what any future batch can match per bucket.
+
+    The banding parameters (num_hashes, bands, n, seed, portable) are
+    part of the index's identity — lookups MUST use the same values;
+    persist them alongside the table."""
+    banded = _minhash_banded(df, num_hashes, bands, n, seed, id_col,
+                             text_col, portable, max_bucket_size,
+                             "minhash_band_index")
+    return banded.select(F.col("id").alias(id_col), "band", "bucket")
+
+
+def minhash_incremental(new_df: DataFrame, index: DataFrame,
+                        num_hashes: int = 32, bands: int = 8,
+                        n: int = 5, seed: int = 17,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        portable: bool = False,
+                        max_bucket_size: int | None = 10_000) \
+        -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted band index WITHOUT touching
+    the historical corpus text: returns ``(candidates, increment)``.
+
+    * ``candidates``: ``(a_id, b_id, vs)`` — ``vs='batch'`` pairs are
+      within-batch (a_id < b_id), ``vs='history'`` pairs carry the
+      historical id in ``a_id``. Verify with
+      :func:`verify_jaccard_candidates` over the batch unioned with the
+      candidate-touched slice of the historical store, then feed
+      connected components as usual.
+    * ``increment``: the batch's own ``(doc_id, band, bucket)`` rows —
+      append them to the persisted index so the next batch sees this
+      one as history.
+
+    Decomposition invariant (pinned by test): banding is per-doc
+    deterministic, so candidates(old ∪ new) ≡ candidates(old) ∪
+    within-batch ∪ vs-history — an incremental run finds exactly the
+    pairs a full re-run would, minus the old-vs-old pairs it already
+    found in previous runs. Batch ids already present in the index
+    (re-processing) never pair with themselves.
+
+    Scale shape: the batch is banded once; within-batch pairs self-join
+    under the group-size rail; history pairs are ONE equi-join on
+    (band, bucket) against the index — with the index bucketed on those
+    keys this is a co-located join that never rebands or rescans the
+    historical corpus. Per-bucket cross volume is bounded by
+    |index bucket| x |batch bucket| ≤ cap² in the worst case; the real
+    defense is building BOTH sides collapsed (see
+    :func:`minhash_band_index`).
+    """
+    new_banded = _minhash_banded(new_df, num_hashes, bands, n, seed,
+                                 id_col, text_col, portable,
+                                 max_bucket_size, "minhash_incremental")
+    left = new_banded.alias("l")
+    right = new_banded.alias("r")
+    within = (left.join(right, ["band", "bucket"])
+                  .where(F.col("l.id") < F.col("r.id"))
+                  .select(F.col("l.id").alias("a_id"),
+                          F.col("r.id").alias("b_id"))
+                  .distinct()
+                  .withColumn("vs", F.lit("batch")))
+    hist = index.select(F.col(id_col).alias("h_id"), "band", "bucket")
+    cross = (new_banded.join(hist, ["band", "bucket"])
+                       .where(F.col("h_id") != F.col("id"))
+                       .select(F.col("h_id").alias("a_id"),
+                               F.col("id").alias("b_id"))
+                       .distinct()
+                       .withColumn("vs", F.lit("history")))
+    increment = new_banded.select(F.col("id").alias(id_col),
+                                  "band", "bucket")
+    return within.unionByName(cross), increment
 
 
 # -- SimHash ----------------------------------------------------------------
