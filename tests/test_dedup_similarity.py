@@ -779,3 +779,53 @@ class TestIncrementalMinhash:
         assert any(r.vs == "history" and r.b_id == 5999
                    and r.jaccard == 1.0 for r in rows)
         assert all(r.jaccard >= 0.8 for r in rows)
+
+
+class TestIncrementalSimhash:
+    """simhash_index / simhash_incremental mirror the MinHash
+    incremental contract with a (doc_id, sig) index."""
+
+    def _frames(self, spark):
+        old = TestIncrementalMinhash._corpus(7, 12, 1000)
+        new = TestIncrementalMinhash._corpus(107, 8, 5000)
+        new.append((5999, old[0][1]))  # cross-run exact dup
+        schema = "doc_id long, text string"
+        return (spark.createDataFrame(old, schema),
+                spark.createDataFrame(new, schema))
+
+    def test_decomposition_invariant(self, spark):
+        from valico_spark.operators.dedup import (
+            simhash_candidates, simhash_incremental, simhash_index)
+
+        old_df, new_df = self._frames(spark)
+
+        def key(rows):
+            return {(min(r.a_id, r.b_id), max(r.a_id, r.b_id), r.hamming)
+                    for r in rows}
+
+        full = key(simhash_candidates(
+            old_df.unionByName(new_df)).collect())
+        old_pairs = key(simhash_candidates(old_df).collect())
+        cand, _ = simhash_incremental(new_df, simhash_index(old_df))
+        got = key(cand.collect())
+        assert got == full - old_pairs and len(got) > 0
+        # the planted cross-run exact dup arrives at hamming 0
+        assert any(h == 0 and b == 5999 for _, b, h in got)
+
+    def test_increment_matches_index_of_batch(self, spark):
+        from valico_spark.operators.dedup import (
+            simhash_incremental, simhash_index)
+
+        old_df, new_df = self._frames(spark)
+        _, inc = simhash_incremental(new_df, simhash_index(old_df))
+        assert ({tuple(r) for r in inc.collect()}
+                == {tuple(r) for r in simhash_index(new_df).collect()})
+
+    def test_replayed_batch_never_self_pairs(self, spark):
+        from valico_spark.operators.dedup import (
+            simhash_incremental, simhash_index)
+
+        old_df, _ = self._frames(spark)
+        cand, _ = simhash_incremental(old_df, simhash_index(old_df))
+        assert all(r.a_id != r.b_id
+                   for r in cand.where("vs = 'history'").collect())

@@ -713,6 +713,104 @@ def simhash(text: Column, bits: int = 64,
     return functools.reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
+def _simhash_banded_from_sigs(sigd: DataFrame, band_bits: int,
+                              max_bucket_size: int | None,
+                              op_name: str) -> DataFrame:
+    """Shared SimHash banding: ``(id, sig)`` → ``(id, sig, band,
+    bucket)`` by shift/mask over the 64-bit signature — a map-only
+    stage, which is why a persisted ``(doc_id, sig)`` index never needs
+    the corpus text to be re-banded."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigd.select("id", "sig", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright(F.col("sig"), i * band_bits)
+                  .bitwiseAND(F.lit(mask)).alias("bucket"))
+        for i in range(nbands)])).alias("bb")) \
+        .select("id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        banded = cap_group_size(
+            banded, ["band", "bucket"], max_bucket_size, op_name,
+            "pre-collapse exact duplicates first (collapse_exact / "
+            "precollapse_exact=True) or raise max_bucket_size")
+    return banded
+
+
+def simhash_index(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  portable: bool = False) -> DataFrame:
+    """``(doc_id, sig)`` — the persistable SimHash relation of a corpus
+    (8 bytes per doc). Unlike the MinHash band index the signature IS
+    the index: banding derives from it by shift/mask, so future batch
+    lookups re-band history as a map-only stage with no text scan and
+    no tokenization. Build from a collapsed corpus; the hash flavor
+    (``portable``) is part of the index's identity."""
+    return (df.where(F.length(F.trim(F.col(text_col))) > 0)
+              .select(F.col(id_col),
+                      simhash(F.col(text_col), portable=portable)
+                       .alias("sig")))
+
+
+def simhash_incremental(new_df: DataFrame, index: DataFrame,
+                        band_bits: int = 16, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        portable: bool = False,
+                        max_bucket_size: int | None = 10_000) \
+        -> tuple[DataFrame, DataFrame]:
+    """SimHash near-dup candidates of a NEW batch vs a persisted
+    ``(doc_id, sig)`` index (:func:`simhash_index`) plus within-batch
+    pairs — the continuously-crawled-corpus posture, mirroring
+    :func:`minhash_incremental`. Returns ``(candidates, increment)``:
+    candidates carry ``(a_id, b_id, hamming, vs)`` with the historical
+    id in ``a_id`` for ``vs='history'``; the increment is the batch's
+    own ``(doc_id, sig)`` rows to append to the index.
+
+    Decomposition invariant (pinned by test): signatures are per-doc
+    deterministic, so candidates(old ∪ new) ≡ within-old ∪
+    within-batch ∪ vs-history exactly. The group-size rail guards the
+    batch side; the history side is a map-only banding of the persisted
+    sigs (its bucket discipline is set at index-build time — build
+    collapsed)."""
+    new_sigd = (ensure_min_partitions(new_df)
+                .where(F.length(F.trim(F.col(text_col))) > 0)
+                .select(F.col(id_col).alias("id"),
+                        simhash(F.col(text_col), portable=portable)
+                         .alias("sig")))
+    new_banded = _simhash_banded_from_sigs(new_sigd, band_bits,
+                                           max_bucket_size,
+                                           "simhash_incremental")
+    l, r = new_banded.alias("l"), new_banded.alias("r")
+    within = (l.join(r, ["band", "bucket"])
+               .where(F.col("l.id") < F.col("r.id"))
+               .select(F.col("l.id").alias("a_id"),
+                       F.col("r.id").alias("b_id"),
+                       F.col("l.sig").alias("a_sig"),
+                       F.col("r.sig").alias("b_sig"))
+               .distinct()
+               .withColumn("vs", F.lit("batch")))
+    hist = _simhash_banded_from_sigs(
+        index.select(F.col(id_col).alias("id"), "sig"),
+        band_bits, None, "simhash_incremental") \
+        .select(F.col("id").alias("h_id"), F.col("sig").alias("h_sig"),
+                "band", "bucket")
+    cross = (new_banded.join(hist, ["band", "bucket"])
+                       .where(F.col("h_id") != F.col("id"))
+                       .select(F.col("h_id").alias("a_id"),
+                               F.col("id").alias("b_id"),
+                               F.col("h_sig").alias("a_sig"),
+                               F.col("sig").alias("b_sig"))
+                       .distinct()
+                       .withColumn("vs", F.lit("history")))
+    pairs = within.unionByName(cross)
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+    candidates = (pairs.withColumn("hamming", hamming)
+                       .drop("a_sig", "b_sig")
+                       .select("a_id", "b_id", "hamming", "vs"))
+    increment = new_sigd.select(F.col("id").alias(id_col), "sig")
+    return candidates, increment
+
+
 def simhash_candidates(df: DataFrame, band_bits: int = 16,
                        id_col: str = "doc_id",
                        text_col: str = "text",
@@ -753,21 +851,8 @@ def simhash_candidates(df: DataFrame, band_bits: int = 16,
         F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), portable=portable).alias("sig"))
-    nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = sigd.select("id", "sig", F.explode(F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftright(F.col("sig"), i * band_bits)
-                  .bitwiseAND(F.lit(mask)).alias("bucket"))
-        for i in range(nbands)])).alias("bb")) \
-        .select("id", "sig", F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket"))
-    if max_bucket_size is not None:
-        banded = cap_group_size(
-            banded, ["band", "bucket"], max_bucket_size,
-            "simhash_candidates",
-            "pre-collapse exact duplicates first (collapse_exact / "
-            "precollapse_exact=True) or raise max_bucket_size")
+    banded = _simhash_banded_from_sigs(sigd, band_bits, max_bucket_size,
+                                       "simhash_candidates")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, ["band", "bucket"])
               .where(F.col("l.id") < F.col("r.id"))
