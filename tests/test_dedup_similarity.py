@@ -829,3 +829,64 @@ class TestIncrementalSimhash:
         cand, _ = simhash_incremental(old_df, simhash_index(old_df))
         assert all(r.a_id != r.b_id
                    for r in cand.where("vs = 'history'").collect())
+
+
+class TestIncrementalExactDedup:
+    """exact_dedup_index / exact_dedup_incremental: fingerprint index,
+    no history text scan."""
+
+    def _frames(self, spark):
+        old = [(1, "shared page body"), (2, "old unique one"),
+               (3, "shared page body"), (4, None)]
+        new = [(10, "shared page body"),       # dup of history rep 1
+               (11, "batch dup x"), (12, "batch dup x"),  # new group
+               (13, "brand new unique"), (14, None)]
+        schema = "doc_id long, text string"
+        return (spark.createDataFrame(old, schema),
+                spark.createDataFrame(new, schema))
+
+    def test_edges_and_increment(self, spark):
+        from valico_spark.operators.dedup import (
+            exact_dedup_incremental, exact_dedup_index)
+
+        old_df, new_df = self._frames(spark)
+        idx = exact_dedup_index(old_df)
+        # index: one row per distinct old text (min-id rep), nulls out
+        assert ({r.doc_id for r in idx.collect()} == {1, 2})
+        edges, inc = exact_dedup_incremental(new_df, idx)
+        got = {(r.a_id, r.b_id, r.vs) for r in edges.collect()}
+        assert got == {(11, 12, "batch"), (1, 10, "history")}
+        # increment: batch reps NOT in history; null-text never indexes
+        assert ({r.doc_id for r in inc.collect()} == {11, 13})
+
+    def test_replay_is_idempotent(self, spark):
+        from valico_spark.operators.dedup import (
+            exact_dedup_incremental, exact_dedup_index)
+
+        old_df, _ = self._frames(spark)
+        idx = exact_dedup_index(old_df)
+        edges, inc = exact_dedup_incremental(old_df, idx)
+        got = {(r.a_id, r.b_id, r.vs) for r in edges.collect()}
+        assert got == {(1, 3, "batch")}  # no history self-pairs
+        assert inc.count() == 0
+
+    def test_components_match_full_collapse(self, spark):
+        from valico_spark.operators.dedup import (
+            collapse_exact, exact_dedup_incremental, exact_dedup_index)
+        from valico_spark.operators.graph import connected_components
+
+        old_df, new_df = self._frames(spark)
+        _, full_edges = collapse_exact(old_df.unionByName(new_df))
+        want = {tuple(sorted((r.a_id, r.b_id)))
+                for r in full_edges.collect()}
+        _, old_edges = collapse_exact(old_df)
+        edges, _ = exact_dedup_incremental(new_df,
+                                           exact_dedup_index(old_df))
+        inc_edges = old_edges.withColumn(
+            "vs", F.lit("old")).unionByName(edges)
+        # same COMPONENTS (edge sets differ in shape, closure agrees)
+        comp = {(r.id, r.comp) for r in connected_components(
+            inc_edges.select("a_id", "b_id")).collect()}
+        full_comp = {(r.id, r.comp) for r in connected_components(
+            full_edges.select("a_id", "b_id")).collect()}
+        assert comp == full_comp and len(comp) > 0

@@ -568,6 +568,71 @@ def verify_jaccard_candidates(cand: DataFrame, docs: DataFrame,
                   .select("a_id", "b_id", *extra, "jaccard"))
 
 
+# -- Incremental exact dedup (batch vs persisted fingerprint index) ----------
+
+def _text_fp(text_col: str) -> list:
+    """128-bit content fingerprint as two independent 64-bit hashes —
+    merge probability ~n^2/2^128, negligible at 10^12 docs (a single
+    64-bit key would sit at n^2/2^64 ≈ 10^-2 per corpus-sized run)."""
+    return [F.xxhash64(F.col(text_col)).alias("h1"),
+            F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)).alias("h2")]
+
+
+def exact_dedup_index(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """``(doc_id, h1, h2)`` — one row per DISTINCT text (min-id
+    representative), the persistable exact-dup fingerprint index: 24
+    bytes per distinct document, no text retained. Null-text docs are
+    not duplicates of anything and never index."""
+    return (df.where(F.col(text_col).isNotNull())
+              .groupBy(*_text_fp(text_col))
+              .agg(F.min(id_col).alias(id_col))
+              .select(id_col, "h1", "h2"))
+
+
+def exact_dedup_incremental(new_df: DataFrame, index: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") \
+        -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against a persisted fingerprint index
+    (:func:`exact_dedup_index`) — completes the incremental trilogy
+    next to :func:`minhash_incremental` / :func:`simhash_incremental`.
+
+    Returns ``(edges, increment)``:
+
+    * ``edges``: ``(a_id, b_id, vs)`` linear duplicate edges —
+      ``vs='batch'`` are the within-batch collapse (rep → member, from
+      :func:`collapse_exact`, text-keyed and hence collision-free);
+      ``vs='history'`` links each batch representative whose
+      fingerprint exists in the index to the HISTORICAL representative
+      (one edge per matched rep; connected components closes the
+      transitivity to the rep's members). Replayed docs (same id in
+      batch and index) never self-pair.
+    * ``increment``: fingerprint rows for batch representatives NOT in
+      history — append to the persisted index.
+
+    Scale shape: one text-keyed corpus shuffle for the batch collapse,
+    then two fingerprint-keyed joins (match + anti) against the index —
+    history text is never scanned. The only approximation is the
+    128-bit fingerprint on the HISTORY side (see :func:`_text_fp`);
+    within-batch grouping stays byte-exact.
+    """
+    reps, dup_edges = collapse_exact(new_df, id_col, text_col)
+    repf = (reps.where(F.col(text_col).isNotNull())
+                .select(F.col(id_col).alias("id"), *_text_fp(text_col)))
+    hist = index.select(F.col(id_col).alias("h_id"), "h1", "h2")
+    matched = (repf.join(hist, ["h1", "h2"])
+                   .where(F.col("h_id") != F.col("id"))
+                   .select(F.col("h_id").alias("a_id"),
+                           F.col("id").alias("b_id")))
+    edges = (dup_edges.withColumn("vs", F.lit("batch"))
+                      .unionByName(matched.withColumn(
+                          "vs", F.lit("history"))))
+    increment = (repf.join(hist, ["h1", "h2"], "left_anti")
+                     .select(F.col("id").alias(id_col), "h1", "h2"))
+    return edges, increment
+
+
 # -- Incremental MinHash (batch vs persisted band index) ---------------------
 
 def minhash_band_index(df: DataFrame, num_hashes: int = 32,
