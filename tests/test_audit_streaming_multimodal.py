@@ -433,3 +433,55 @@ class TestStreamingDrift:
         batch = chi_square(sl, self._reference(spark),
                            "cat").collect()[0]
         assert abs(stat - batch.statistic) < 1e-9
+
+
+class TestStreamIncrementalDedup:
+    """stream_minhash_dedup: candidates per micro-batch against a
+    growing on-disk band index; durable state = the index table."""
+
+    def test_two_runs_grow_the_index(self, spark, tmp_path):
+        from valico_spark.streaming.incremental_dedup import (
+            stream_minhash_dedup)
+
+        src = str(tmp_path / "src")
+        idx = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "doc_id long, text string"
+        shared = ("the quick brown fox jumps over the lazy dog "
+                  "again and again and then once more for luck")
+
+        b1 = spark.createDataFrame([(1, shared), (2, shared)], schema)
+        b1.write.parquet(src)
+        q = stream_minhash_dedup(
+            spark.readStream.schema(b1.schema).parquet(src),
+            idx, pairs, ckpt)
+        q.awaitTermination()
+        q.stop()
+        got1 = {(r.a_id, r.b_id, r.vs)
+                for r in spark.read.parquet(pairs).collect()}
+        assert got1 == {(1, 2, "batch")}
+
+        # second run, same checkpoint: only the NEW file is processed,
+        # and the first run's docs are now history
+        b2 = spark.createDataFrame(
+            [(3, shared),
+             (4, "completely different unique content over here")],
+            schema)
+        b2.write.mode("append").parquet(src)
+        q2 = stream_minhash_dedup(
+            spark.readStream.schema(b1.schema).parquet(src),
+            idx, pairs, ckpt)
+        q2.awaitTermination()
+        q2.stop()
+        got2 = {(r.a_id, r.b_id, r.vs)
+                for r in spark.read.parquet(pairs).collect()}
+        assert got2 == {(1, 2, "batch"),
+                        (1, 3, "history"), (2, 3, "history")}
+        # the index holds band rows for every banded doc of both runs
+        index = spark.read.parquet(idx)
+        assert ({r.doc_id for r in index.collect()} == {1, 2, 3, 4})
+        # partitioned by ingest batch: replay overwrites, never dupes
+        assert ({r.ingest_batch for r in
+                 index.select("ingest_batch").distinct().collect()}
+                == {0, 1})
