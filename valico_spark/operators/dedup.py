@@ -1161,10 +1161,11 @@ def remove_repeated_spans(df: DataFrame, n: int = 10,
     """
     from valico_spark.operators.text import tokens
 
-    clash = {"n_words", "n_removed"} & set(df.columns)
+    clash = {"n_words", "n_removed", "ivs"} & set(df.columns)
     if clash:
-        raise ValueError(f"input already has stat columns {sorted(clash)}"
-                         " — rename them before remove_repeated_spans")
+        raise ValueError(f"input already has reserved columns "
+                         f"{sorted(clash)} — rename them before "
+                         "remove_repeated_spans")
     ivs = _merged_repeated_spans(df, n, min_count, keep_first,
                                  id_col, text_col) \
         .withColumnRenamed("id", id_col)
