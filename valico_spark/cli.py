@@ -66,7 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--source-col", default="source",
                     help="(--curate --mixture) source column")
     ap.add_argument("--token-col", default="n_chars",
-                    help="(--curate --mixture) token-mass column")
+                    help="(--curate --mixture) token-mass column; after "
+                         "--remove-repeated-spans, n_words carries fresh "
+                         "post-rewrite counts while input-derived counts "
+                         "like n_chars go stale")
     ap.add_argument("--shards", type=int, default=None,
                     help="(--curate) also write the final corpus as N "
                          "hash-balanced parquet shards with a manifest")
