@@ -151,6 +151,36 @@ class TestBucketedJoins:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    def test_incremental_index_join_is_one_sided(self, spark):
+        """minhash_incremental against a BUCKETED band index: the
+        history join must repartition ONLY the batch side — the index
+        FileScan feeds the sort-merge join with no Exchange (history is
+        never reshuffled per batch, the recrawl contract)."""
+        from valico_spark.operators.dedup import (
+            minhash_band_index, minhash_incremental)
+        from valico_spark.sources.bucketed import write_bucketed
+
+        docs = spark.createDataFrame(
+            [(i, f"document body number {i} with some shared words "
+                 "to make shingles plentiful") for i in range(40)],
+            "doc_id long, text string")
+        write_bucketed(minhash_band_index(docs), "bk_mh_idx",
+                       ["band", "bucket"], 8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand, _ = minhash_incremental(
+                docs.withColumn("doc_id", F.col("doc_id") + 100),
+                spark.table("bk_mh_idx"), max_bucket_size=None)
+            hist = cand.where("vs = 'history'")
+            plan = hist._jdf.queryExecution().executedPlan().toString()
+            n_bb_exchanges = plan.count(
+                "Exchange hashpartitioning(band")
+            assert n_bb_exchanges == 1, plan[:2000]
+            assert hist.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
 
 class TestNestedDefaults:
     def test_nested_struct_defaults(self, spark):
