@@ -890,3 +890,75 @@ class TestIncrementalExactDedup:
         full_comp = {(r.id, r.comp) for r in connected_components(
             full_edges.select("a_id", "b_id")).collect()}
         assert comp == full_comp and len(comp) > 0
+
+
+class TestIncrementalEmbedding:
+    """srp_index / embedding_incremental: the embedding-modality member
+    of the incremental dedup family."""
+
+    @staticmethod
+    def _vecs(seed, n, id_base, spark, planted=None):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            v = [rng.gauss(0, 1) for _ in range(8)]
+            rows.append((id_base + i, v))
+            if rng.random() < 0.3:
+                # near-dup: tiny perturbation, cosine ~0.999
+                rows.append((id_base + n + len(rows),
+                             [x + rng.gauss(0, 0.01) for x in v]))
+        rows += planted or []
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def _frames(self, spark):
+        old = self._vecs(5, 10, 1000, spark)
+        first_old = old.orderBy("vec_id").first()
+        new = self._vecs(205, 6, 5000, spark,
+                         planted=[(5999, list(first_old.embedding))])
+        return old, new
+
+    def test_decomposition_invariant(self, spark):
+        from valico_spark.operators.similarity import (
+            embedding_incremental, srp_index)
+
+        old_df, new_df = self._frames(spark)
+        kw = dict(threshold=0.98, bits=4, tables=2, dim=8)
+        empty = srp_index(old_df.limit(0), bits=4, tables=2, dim=8)
+
+        def key(df):
+            return {(min(r.a_id, r.b_id), max(r.a_id, r.b_id),
+                     round(r.sim, 9)) for r in df.collect()}
+
+        full, _ = embedding_incremental(
+            old_df.unionByName(new_df), empty, **kw)
+        old_pairs, _ = embedding_incremental(old_df, empty, **kw)
+        idx = srp_index(old_df, bits=4, tables=2, dim=8)
+        got, inc = embedding_incremental(new_df, idx, **kw)
+        assert key(got) == key(full) - key(old_pairs)
+        assert len(key(got)) > 0
+        # the planted identical vector pairs with its history original
+        assert any(a == 1000 and b == 5999 and s > 0.999999
+                   for a, b, s in key(got))
+        # increment rows mirror srp_index of the batch
+        direct = srp_index(new_df, bits=4, tables=2, dim=8)
+        assert ({(r.vec_id, tuple(r.buckets)) for r in inc.collect()}
+                == {(r.vec_id, tuple(r.buckets))
+                    for r in direct.collect()})
+
+    def test_replay_never_self_pairs_and_zero_norm_excluded(self, spark):
+        from valico_spark.operators.similarity import (
+            embedding_incremental, srp_index)
+
+        old_df, _ = self._frames(spark)
+        withzero = old_df.unionByName(spark.createDataFrame(
+            [(9999, [0.0] * 8)], "vec_id long, embedding array<double>"))
+        idx = srp_index(withzero, bits=4, tables=2, dim=8)
+        assert idx.where("vec_id = 9999").count() == 0
+        pairs, _ = embedding_incremental(withzero, idx, threshold=0.5,
+                                         bits=4, tables=2, dim=8)
+        rows = pairs.where("vs = 'history'").collect()
+        assert rows and all(r.a_id != r.b_id for r in rows)
+        assert all(9999 not in (r.a_id, r.b_id) for r in pairs.collect())

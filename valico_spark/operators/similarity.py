@@ -477,3 +477,108 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                  .join(cell_of, "b_id")
                  .select(F.col("b_id").alias("dropped_id"), "kept_id",
                          "cell", "max_sim"))
+
+
+# -- Incremental embedding near-dup (batch vs persisted SRP index) -----------
+
+def srp_index(df: DataFrame, bits: int = 8, tables: int = 4,
+              seed: int = 7, dim: int | None = None,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """``(vec_id, buckets, embedding)`` — the persistable SRP-LSH index
+    of an embedding corpus, one row per vector with its bucket id under
+    each of ``tables`` independent plane sets (same ``seed + 7919*t``
+    convention as :func:`lsh_topk`). The vector rides along so
+    candidates verify with EXACT cosine without touching the historical
+    store (embeddings are small; contrast the text indexes, which
+    deliberately carry no text). Zero-norm vectors have undefined
+    cosine and never index. The SRP parameters are part of the index's
+    identity — persist them alongside the table."""
+    if dim is None:
+        row = (df.select(vec_col)
+                 .where(F.col(vec_col).isNotNull()).first())
+        if row is None:
+            dim = 1
+        else:
+            dim = len(row[0])
+    plane_sets = [srp_planes(dim, bits, seed + 7919 * t)
+                  for t in range(tables)]
+    buckets = F.array(*[srp_bucket(F.col(vec_col), ps)
+                        for ps in plane_sets])
+    return (df.where(norm(F.col(vec_col)) > 0)
+              .select(F.col(id_col), buckets.alias("buckets"),
+                      F.col(vec_col)))
+
+
+def _srp_banded(indexed: DataFrame, id_col: str,
+                vec_col: str) -> DataFrame:
+    """(id, vec, tbl, bucket) from an srp_index-shaped frame — map-only
+    (posexplode of the per-table bucket array)."""
+    return (indexed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode("buckets").alias("tbl", "bucket")))
+
+
+def embedding_incremental(new_df: DataFrame, index: DataFrame,
+                          threshold: float = 0.95, bits: int = 8,
+                          tables: int = 4, seed: int = 7,
+                          dim: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_bucket_size: int | None = 100_000) \
+        -> tuple[DataFrame, DataFrame]:
+    """Embedding near-dup pairs of a NEW batch vs a persisted SRP index
+    (:func:`srp_index`) plus within-batch pairs — the embedding-modality
+    member of the incremental family next to exact / MinHash / SimHash.
+
+    Returns ``(pairs, increment)``: ``pairs`` = ``(a_id, b_id, sim,
+    vs)`` with exact cosine ≥ ``threshold`` (historical id in ``a_id``
+    for ``vs='history'``); ``increment`` = the batch's own index rows to
+    append. Recall is bounded by SRP bucket collisions exactly as in
+    :func:`all_pairs_above`'s ``block_bits`` path, amplified by the OR
+    over ``tables`` plane sets — raise ``tables`` for higher recall.
+
+    Scale shape: the batch is bucketed once (map stage); history is a
+    map-only posexplode of the persisted bucket arrays (no re-hash of
+    historical vectors, no scan of any wider store); both joins are
+    (tbl, bucket) equi-joins; the group-size rail guards the batch side
+    and the index's own rail was applied at build time. Decomposition
+    invariant pinned by test: pairs(old ∪ new) ≡ within-old ∪
+    within-batch ∪ vs-history.
+    """
+    from valico_spark.operators.util import cap_group_size
+
+    new_idx = srp_index(new_df, bits, tables, seed, dim, id_col, vec_col)
+    banded = _srp_banded(new_idx, id_col, vec_col)
+    if max_bucket_size is not None:
+        banded = cap_group_size(
+            banded, ["tbl", "bucket"], max_bucket_size,
+            "embedding_incremental",
+            "pre-collapse duplicate vectors or raise max_bucket_size")
+    l, r = banded.alias("l"), banded.alias("r")
+    within = (l.join(r, ["tbl", "bucket"])
+               .where(F.col("l.id") < F.col("r.id"))
+               .select(F.col("l.id").alias("a_id"),
+                       F.col("r.id").alias("b_id"),
+                       F.col("l.vec").alias("a_vec"),
+                       F.col("r.vec").alias("b_vec"))
+               .dropDuplicates(["a_id", "b_id"])
+               .withColumn("vs", F.lit("batch")))
+    hist = (_srp_banded(index, id_col, vec_col)
+            .select(F.col("id").alias("h_id"),
+                    F.col("vec").alias("h_vec"), "tbl", "bucket"))
+    cross = (banded.join(hist, ["tbl", "bucket"])
+                   .where(F.col("h_id") != F.col("id"))
+                   .select(F.col("h_id").alias("a_id"),
+                           F.col("id").alias("b_id"),
+                           F.col("h_vec").alias("a_vec"),
+                           F.col("vec").alias("b_vec"))
+                   .dropDuplicates(["a_id", "b_id"])
+                   .withColumn("vs", F.lit("history")))
+    cand = within.unionByName(cross)
+    sim = dot(F.col("a_vec"), F.col("b_vec")) \
+        / (norm(F.col("a_vec")) * norm(F.col("b_vec")))
+    pairs = (cand.withColumn("sim", sim)
+                 .where(F.col("sim") >= threshold)
+                 .select("a_id", "b_id", "sim", "vs"))
+    return pairs, new_idx
