@@ -962,3 +962,48 @@ class TestIncrementalEmbedding:
         rows = pairs.where("vs = 'history'").collect()
         assert rows and all(r.a_id != r.b_id for r in rows)
         assert all(9999 not in (r.a_id, r.b_id) for r in pairs.collect())
+
+
+class TestDecontamGramIndex:
+    """benchmark_gram_index: the persisted per-batch decontam posture
+    must produce frame-identical reports to the inline benchmark path."""
+
+    def test_index_path_matches_inline(self, spark, tmp_path):
+        from valico_spark.operators.decontam import (
+            benchmark_gram_index, contamination_report, decontaminate)
+
+        docs = spark.createDataFrame(
+            [(1, "the five boxing wizards jump quickly over a lazy "
+                 "brown dog tonight"),
+             (2, "completely unrelated material with no benchmark "
+                 "overlap whatsoever in any gram"),
+             (3, None)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "the five boxing wizards jump quickly over a lazy "
+                   "brown dog yesterday")],
+            "doc_id long, text string")
+        inline = contamination_report(docs, bench, n=8).collect()
+        # persist the index, reload, reuse across "batches"
+        idx_path = str(tmp_path / "gram_idx")
+        benchmark_gram_index(bench, n=8).write.parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+        via_index = contamination_report(docs, n=8,
+                                         gram_index=idx).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, via_index))
+        assert len(inline) == 1 and inline[0].doc_id == 1
+        # decontaminate via index: doc 1 dropped, others survive
+        kept = decontaminate(docs, n=8, gram_index=idx)
+        assert {r.doc_id for r in kept.collect()} == {2, 3}
+
+    def test_exactly_one_source_required(self, spark):
+        import pytest as _pt
+
+        from valico_spark.operators.decontam import contamination_report
+
+        docs = spark.createDataFrame([(1, "x")],
+                                     "doc_id long, text string")
+        with _pt.raises(ValueError):
+            contamination_report(docs)
+        with _pt.raises(ValueError):
+            contamination_report(docs, docs, gram_index=docs)

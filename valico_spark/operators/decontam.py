@@ -31,11 +31,29 @@ from valico_spark.operators.dedup import word_shingles
 from valico_spark.operators.util import ensure_min_partitions
 
 
-def contamination_report(docs: DataFrame, benchmark: DataFrame,
+def benchmark_gram_index(benchmark: DataFrame, n: int = 8,
+                         bench_id_col: str = "doc_id",
+                         bench_text_col: str = "text") -> DataFrame:
+    """``(bench_id, gram)`` — the distinct hashed n-gram relation of a
+    benchmark set. Persist it once (benchmark sets are MBs): per-batch
+    decontamination then never re-shingles the benchmark text, and an
+    updated eval suite just appends its new rows. ``n`` is part of the
+    index's identity — lookups must use the same value."""
+    return (benchmark
+            .select(F.col(bench_id_col).alias("bench_id"),
+                    F.explode(F.transform(
+                        word_shingles(F.col(bench_text_col), n),
+                        lambda g: F.xxhash64(g))).alias("gram"))
+            .distinct())
+
+
+def contamination_report(docs: DataFrame,
+                         benchmark: DataFrame | None = None,
                          n: int = 8,
                          id_col: str = "doc_id", text_col: str = "text",
                          bench_id_col: str = "doc_id",
-                         bench_text_col: str = "text") -> DataFrame:
+                         bench_text_col: str = "text",
+                         gram_index: DataFrame | None = None) -> DataFrame:
     """Per-document contamination report against a benchmark corpus.
 
     Returns one row per *contaminated* document (>=1 shared n-gram):
@@ -46,10 +64,16 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
     to 9 places). Documents with zero overlap are absent — at corpus
     scale the report is tiny relative to the input, which is the point.
 
+    Pass EITHER ``benchmark`` (raw text, shingled here) OR
+    ``gram_index`` (a persisted :func:`benchmark_gram_index` relation,
+    the per-batch posture — built with the same ``n``).
+
     The dual count-distinct does cost a Catalyst Expand (x2), but it
     runs over the post-join *hit* rows only — already pruned to the
     contaminated sliver — never over the corpus grams.
     """
+    if (benchmark is None) == (gram_index is None):
+        raise ValueError("pass exactly one of benchmark / gram_index")
     corp = (ensure_min_partitions(docs)
             .select(F.col(id_col).alias("doc_id"),
                     F.array_distinct(F.transform(
@@ -59,12 +83,11 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
             .where(F.col("doc_grams") > 0))
     corp_g = corp.select("doc_id", "doc_grams",
                          F.explode("grams").alias("gram"))
-    bench_g = (benchmark
-               .select(F.col(bench_id_col).alias("bench_id"),
-                       F.explode(F.transform(
-                           word_shingles(F.col(bench_text_col), n),
-                           lambda g: F.xxhash64(g))).alias("gram"))
-               .distinct())
+    if gram_index is not None:
+        bench_g = gram_index.select("bench_id", "gram")
+    else:
+        bench_g = benchmark_gram_index(benchmark, n, bench_id_col,
+                                       bench_text_col)
     hits = corp_g.join(bench_g, "gram")
     return (hits.groupBy("doc_id", "doc_grams")
                 .agg(F.countDistinct("gram").alias("hit_grams"),
@@ -77,22 +100,26 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
                         "contamination_r"))
 
 
-def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+def decontaminate(docs: DataFrame, benchmark: DataFrame | None = None,
+                  n: int = 8,
                   max_contamination: float = 0.0,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_id_col: str = "doc_id",
-                  bench_text_col: str = "text") -> DataFrame:
+                  bench_text_col: str = "text",
+                  gram_index: DataFrame | None = None) -> DataFrame:
     """Drop contaminated documents from ``docs``.
 
     A document survives iff its contamination fraction is <=
     ``max_contamination`` (default 0: any shared n-gram removes it).
     Implemented as a left anti join of the corpus against the (tiny)
-    contaminated-id set — no second scan of the text.
+    contaminated-id set — no second scan of the text. Accepts a
+    persisted ``gram_index`` exactly like :func:`contamination_report`.
     """
     bad = (contamination_report(docs, benchmark, n=n, id_col=id_col,
                                 text_col=text_col,
                                 bench_id_col=bench_id_col,
-                                bench_text_col=bench_text_col)
+                                bench_text_col=bench_text_col,
+                                gram_index=gram_index)
            .where(F.col("contamination_r") > max_contamination)
            .select(F.col("doc_id").alias("__bad_id")))
     return docs.join(bad, docs[id_col] == bad["__bad_id"], "left_anti")
