@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from valico_spark.operators.dedup import word_shingles
+from valico_spark.operators.dedup import hashed_word_shingles
 from valico_spark.operators.util import ensure_min_partitions
 
 
@@ -41,9 +41,8 @@ def benchmark_gram_index(benchmark: DataFrame, n: int = 8,
     index's identity — lookups must use the same value."""
     return (benchmark
             .select(F.col(bench_id_col).alias("bench_id"),
-                    F.explode(F.transform(
-                        word_shingles(F.col(bench_text_col), n),
-                        lambda g: F.xxhash64(g))).alias("gram"))
+                    F.explode(hashed_word_shingles(
+                        F.col(bench_text_col), n)).alias("gram"))
             .distinct())
 
 
@@ -76,9 +75,8 @@ def contamination_report(docs: DataFrame,
         raise ValueError("pass exactly one of benchmark / gram_index")
     corp = (ensure_min_partitions(docs)
             .select(F.col(id_col).alias("doc_id"),
-                    F.array_distinct(F.transform(
-                        word_shingles(F.col(text_col), n),
-                        lambda g: F.xxhash64(g))).alias("grams"))
+                    hashed_word_shingles(F.col(text_col), n)
+                    .alias("grams"))
             .withColumn("doc_grams", F.size("grams"))
             .where(F.col("doc_grams") > 0))
     corp_g = corp.select("doc_id", "doc_grams",

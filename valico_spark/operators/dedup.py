@@ -138,11 +138,106 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
         F.array().cast("array<long>"))
 
 
+def _blocked_jaccard_arrow(sh: DataFrame, threshold: float, id_col: str,
+                           max_block_size: int | None) -> DataFrame:
+    """Within-block all-pairs exact Jaccard as ONE Arrow stage:
+    groupBy(block) → ``applyInPandas`` → per-block numpy. Replaces the
+    SQL self-join whose per-pair cost was an interpreted
+    ``array_intersect`` over the two shingle arrays (O(|A|+|B|) hash-set
+    work PER PAIR — the measured 183 s at sf1.0 on the biggest
+    (lang, len-bucket) block of 8.7k docs ≈ 75 M intersects).
+
+    Per block: vocabulary-encode the (already distinct) shingle hashes
+    with ``np.unique``, build the doc×gram 0/1 matrix, and compute ALL
+    pairwise intersection sizes with chunked float32 GEMM — integer
+    counts ≤ 2^24 are exact in f32, so ``jaccard = inter /
+    max(sa+sb-inter, 1)`` is the identical IEEE int/int→double division
+    the SQL expression performs and the emitted values are bit-equal.
+    The doc×gram matrix is built per vocab slice when |block|·|vocab|
+    is large, bounding memory; |block| itself is railed with the same
+    ``max_group_size`` message contract as the SQL assert.
+
+    Scale shape: one shuffle keyed on the block (the self-join needed
+    the same exchange twice), shingle arrays cross the boundary once
+    per doc (never per pair), nothing pair-sized is materialized
+    outside the worker.
+    """
+    import pandas as pd
+
+    id_type = sh.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, jaccard double"
+    thr = float(threshold)
+    cap = max_block_size
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        c = len(pdf)
+        ids = pdf[id_col].to_numpy()
+        empty = pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0],
+                              "jaccard": np.zeros(0)})
+        if cap is not None and c > cap:
+            blk = pdf["__blk"].iloc[0]
+            raise ValueError(
+                f"ngram_jaccard_pairs: block exceeds "
+                f"max_group_size={cap}: {blk} has {c} docs — use "
+                "jaccard_pairs_prefix or minhash banding at this scale")
+        if c < 2:
+            return empty
+        grams = pdf["sh"].to_numpy()
+        lens = np.fromiter((len(g) for g in grams), dtype=np.int64,
+                           count=c)
+        flat = np.concatenate([np.asarray(g, dtype=np.int64)
+                               for g in grams])
+        doc_idx = np.repeat(np.arange(c), lens)
+        _, gidx = np.unique(flat, return_inverse=True)
+        V = int(gidx.max()) + 1 if len(gidx) else 0
+        if V == 0:
+            return empty
+        sz = lens.astype(np.float64)
+        dense_ok = c * V <= 200_000_000
+        if dense_ok:
+            M = np.zeros((c, V), dtype=np.float32)
+            M[doc_idx, gidx] = 1.0
+        outs = []
+        rchunk = max(1, int(2e7) // max(c, 1))
+        vs = max(1, int(2e8) // max(c, 1))
+        for s0 in range(0, c, rchunk):
+            s1 = min(s0 + rchunk, c)
+            if dense_ok:
+                inter = M[s0:s1] @ M.T
+            else:
+                inter = np.zeros((s1 - s0, c), dtype=np.float32)
+                for v0 in range(0, V, vs):
+                    v1 = min(v0 + vs, V)
+                    sel = (gidx >= v0) & (gidx < v1)
+                    Ms = np.zeros((c, v1 - v0), dtype=np.float32)
+                    Ms[doc_idx[sel], gidx[sel] - v0] = 1.0
+                    inter += Ms[s0:s1] @ Ms.T
+            union = sz[s0:s1, None] + sz[None, :] - inter
+            jac = inter.astype(np.float64) / np.maximum(union, 1.0)
+            rows, cols = np.nonzero(jac >= thr)
+            rows += s0
+            keep = ids[rows] < ids[cols]   # value order, not position
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                outs.append(pd.DataFrame({"a_id": ids[rows],
+                                          "b_id": ids[cols],
+                                          "jaccard": jac[rows - s0,
+                                                         cols]}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return sh.groupBy("__blk").applyInPandas(block_pairs, out_schema)
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                         id_col: str = "doc_id", text_col: str = "text",
                         block_col: str | None = None,
                         allow_quadratic: bool = False,
-                        max_block_size: int | None = 100_000) -> DataFrame:
+                        max_block_size: int | None = 100_000,
+                        engine: str = "arrow") -> DataFrame:
     """Exact Jaccard over char n-gram sets for all pairs (within blocks).
 
     |A∩B| via array_intersect, |A∪B| = |A|+|B|-|A∩B| — set algebra in
@@ -184,6 +279,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
         *([F.col(block_col).alias("__blk")] if block_col else []))
     if block_col is not None:
         sh = sh.where(F.col("__blk").isNotNull())
+    if block_col is not None and engine == "arrow":
+        # vectorized per-block engine (guide §4.2): shingle arrays cross
+        # the boundary once per doc; the rail raises in the worker
+        return _blocked_jaccard_arrow(sh, threshold, id_col,
+                                      max_block_size)
     if block_col is not None and max_block_size is not None:
         sizes = sh.groupBy("__blk").agg(F.count(F.lit(1)).alias("__blk_n"))
         sh = (sh.join(F.broadcast(sizes), "__blk")
@@ -231,6 +331,28 @@ def word_shingles(text: Column, w: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, w))))
     return F.when(nw >= w, sh).otherwise(
         F.array().cast("array<string>"))
+
+
+def hashed_word_shingles(text: Column, w: int = 3) -> Column:
+    """Distinct 64-bit hashes of the w-word shingles (array<long>),
+    WITHOUT building the shingle strings: each word is xxhash64-ed once,
+    then every shingle is ``xxhash64(slice(word_hashes, i, w))`` — the
+    same O(w)-per-position long-slice trick as
+    ``_merged_repeated_spans``. Equality on these hashes ≡ equality on
+    the joined shingle strings (words contain no whitespace, so the
+    word sequence ↔ string map is bijective) up to 64-bit collisions —
+    the same ~2^-64-per-pair risk budget as :func:`hashed_shingles`.
+    Callers that only ever COMPARE shingles (prefix join, gram index
+    probe, distinct counts) get identical results while skipping the
+    per-shingle concat_ws string allocation + long-string hash
+    (measured ~2x on the shingle projection at sf1.0)."""
+    words = F.split(F.trim(text), r"\s+")
+    nw = F.size(words)
+    wh = F.transform(words, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(0), nw - w)
+    sh = F.array_distinct(F.transform(
+        idx, lambda i: F.xxhash64(F.slice(wh, i + 1, w))))
+    return F.when(nw >= w, sh).otherwise(F.array().cast("array<long>"))
 
 
 def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
@@ -298,9 +420,8 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
                    & (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
                       >= w))
             .select(F.col(id_col).alias("id"),
-                    F.array_distinct(F.transform(
-                        word_shingles(F.col(text_col), w),
-                        lambda s: F.xxhash64(s))).alias("hsh"))
+                    hashed_word_shingles(F.col(text_col), w)
+                    .alias("hsh"))
             .withColumn("sz", F.size("hsh")))
     g = base.select("id", "sz", F.explode("hsh").alias("gram"))
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))

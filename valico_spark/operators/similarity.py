@@ -67,6 +67,89 @@ def dequantize(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda q: (q * scale).cast("float"))
 
 
+def _blocked_pairs_arrow(df: DataFrame, threshold: float, id_col: str,
+                         vec_col: str, block_col: str,
+                         max_block_size: int | None) -> DataFrame:
+    """Blocked all-pairs cosine as ONE Arrow stage: groupBy(block) →
+    ``applyInPandas`` → per-block numpy. Replaces the SQL self-join whose
+    per-pair cost was an interpreted zip_with+aggregate fold (~183 ns/
+    element vs BLAS): the block's vectors cross the Python boundary once
+    (|block| rows, not |block|² pair rows), candidate pairs come from a
+    chunked float64 GEMM, and every emitted ``sim`` is RECOMPUTED in the
+    exact IEEE order of the SQL expression — ``acc = 0.0; acc += (double)
+    a_j * (double) b_j`` left to right, then ``dot / (nrm_a * nrm_b)``
+    with ``nrm = sqrt(fold(x_j*x_j))`` — so the output is bit-identical
+    to the zip_with/aggregate plan (GEMM blocking only selects
+    candidates, with a 1e-9 margin >> the ~1e-13 f64 reassociation
+    error; the exact pass makes the final >= threshold decision).
+
+    The mega-block rail moves into the worker (same message contract as
+    :func:`valico_spark.operators.util.cap_group_size`): a group larger
+    than ``max_block_size`` raises before any pair is formed.
+
+    Scale shape: one shuffle keyed on the block (the same exchange the
+    SQL self-join needed twice), no pair-row materialization outside
+    the worker, memory bounded by |block|·dim + a ~160 MB GEMM chunk.
+    NaN components are excluded-by-construction upstream (zero-norm
+    filter); vectors must share one dimensionality per block.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, sim double"
+    thr = float(threshold)
+    cap = max_block_size
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = len(pdf)
+        if cap is not None and n > cap:
+            blk = pdf[block_col].iloc[0]
+            raise ValueError(
+                f"all_pairs_above: group ({blk},) exceeds "
+                f"max_group_size={cap} with {n} rows — split the block "
+                "key finer (more centroids / more block bits), "
+                "pre-collapse duplicate vectors, or raise "
+                "max_block_size")
+        ids = pdf[id_col].to_numpy()
+        A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        d = A.shape[1]
+        acc = np.zeros(n)
+        for j in range(d):           # fold-order norm: exact SQL parity
+            acc = acc + A[:, j] * A[:, j]
+        nrm = np.sqrt(acc)
+        empty = pd.DataFrame({"a_id": ids[:0], "b_id": ids[:0],
+                              "sim": np.zeros(0)})
+        outs = []
+        chunk = max(1, int(2e7) // max(n, 1))
+        for s0 in range(0, n, chunk):
+            s1 = min(s0 + chunk, n)
+            approx = (A[s0:s1] @ A.T) / (nrm[s0:s1, None] * nrm[None, :])
+            rows, cols = np.nonzero(approx >= thr - 1e-9)
+            rows += s0
+            keep = ids[rows] < ids[cols]   # value order, not position
+            rows, cols = rows[keep], cols[keep]
+            if not len(rows):
+                continue
+            av, bv = A[rows], A[cols]
+            acc = np.zeros(len(rows))
+            for j in range(d):       # fold-order dot for the candidates
+                acc = acc + av[:, j] * bv[:, j]
+            sim = acc / (nrm[rows] * nrm[cols])
+            m = sim >= thr
+            outs.append(pd.DataFrame({"a_id": ids[rows[m]],
+                                      "b_id": ids[cols[m]],
+                                      "sim": sim[m]}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return (df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+              .groupBy(block_col)
+              .applyInPandas(block_pairs, out_schema))
+
+
 def all_pairs_above(df: DataFrame, threshold: float,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
@@ -74,7 +157,8 @@ def all_pairs_above(df: DataFrame, threshold: float,
                     block_bits: int | None = None,
                     dim: int | None = None, seed: int = 7,
                     allow_quadratic: bool = False,
-                    max_block_size: int | None = 100_000) -> DataFrame:
+                    max_block_size: int | None = 100_000,
+                    engine: str = "arrow") -> DataFrame:
     """All (a,b) pairs with cosine ≥ threshold, a.id < b.id.
 
     ``block_col`` restricts comparisons to equal blocking keys (e.g. an
@@ -119,6 +203,11 @@ def all_pairs_above(df: DataFrame, threshold: float,
     df = df.where(norm(F.col(vec_col)) > 0)
     if block_col is not None:
         df = df.where(F.col(block_col).isNotNull())
+    if block_col is not None and engine == "arrow":
+        # vectorized per-block engine (guide §4.2): the group-size rail
+        # lives inside the worker with the same message contract
+        return _blocked_pairs_arrow(df, threshold, id_col, vec_col,
+                                    block_col, max_block_size)
     if block_col is not None and max_block_size is not None:
         df = cap_group_size(
             df, [block_col], max_block_size, "all_pairs_above",

