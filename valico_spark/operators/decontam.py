@@ -27,7 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from valico_spark.operators.dedup import hashed_word_shingles
+from valico_spark.operators.dedup import (shingles_of_word_hashes,
+                                          word_hashes)
 from valico_spark.operators.util import ensure_min_partitions
 
 
@@ -41,8 +42,10 @@ def benchmark_gram_index(benchmark: DataFrame, n: int = 8,
     index's identity — lookups must use the same value."""
     return (benchmark
             .select(F.col(bench_id_col).alias("bench_id"),
-                    F.explode(hashed_word_shingles(
-                        F.col(bench_text_col), n)).alias("gram"))
+                    word_hashes(F.col(bench_text_col)).alias("__wh"))
+            .select("bench_id",
+                    F.explode(shingles_of_word_hashes(F.col("__wh"), n))
+                    .alias("gram"))
             .distinct())
 
 
@@ -73,12 +76,19 @@ def contamination_report(docs: DataFrame,
     """
     if (benchmark is None) == (gram_index is None):
         raise ValueError("pass exactly one of benchmark / gram_index")
+    # the zero-gram filter runs on the CHEAP staged word-hash count
+    # (>=1 shingle ⇔ >= n words), not on size(grams): a post-projection
+    # size filter would be pushed below the projection and inline the
+    # whole shingle expression into the filter — evaluated twice per
+    # row (the 3x pattern documented in minhash_lsh_candidates)
     corp = (ensure_min_partitions(docs)
             .select(F.col(id_col).alias("doc_id"),
-                    hashed_word_shingles(F.col(text_col), n)
+                    word_hashes(F.col(text_col)).alias("__wh"))
+            .where(F.size("__wh") >= n)
+            .select("doc_id",
+                    shingles_of_word_hashes(F.col("__wh"), n)
                     .alias("grams"))
-            .withColumn("doc_grams", F.size("grams"))
-            .where(F.col("doc_grams") > 0))
+            .withColumn("doc_grams", F.size("grams")))
     corp_g = corp.select("doc_id", "doc_grams",
                          F.explode("grams").alias("gram"))
     if gram_index is not None:

@@ -333,25 +333,35 @@ def word_shingles(text: Column, w: int = 3) -> Column:
         F.array().cast("array<string>"))
 
 
-def hashed_word_shingles(text: Column, w: int = 3) -> Column:
-    """Distinct 64-bit hashes of the w-word shingles (array<long>),
-    WITHOUT building the shingle strings: each word is xxhash64-ed once,
-    then every shingle is ``xxhash64(slice(word_hashes, i, w))`` — the
-    same O(w)-per-position long-slice trick as
-    ``_merged_repeated_spans``. Equality on these hashes ≡ equality on
-    the joined shingle strings (words contain no whitespace, so the
-    word sequence ↔ string map is bijective) up to 64-bit collisions —
-    the same ~2^-64-per-pair risk budget as :func:`hashed_shingles`.
-    Callers that only ever COMPARE shingles (prefix join, gram index
-    probe, distinct counts) get identical results while skipping the
-    per-shingle concat_ws string allocation + long-string hash
-    (measured ~2x on the shingle projection at sf1.0)."""
-    words = F.split(F.trim(text), r"\s+")
-    nw = F.size(words)
-    wh = F.transform(words, lambda t: F.xxhash64(t))
-    idx = F.sequence(F.lit(0), nw - w)
+def word_hashes(text: Column) -> Column:
+    """xxhash64 of every whitespace word (array<long>) — the staged
+    first projection of the hashed-shingle path. MUST be materialized
+    as its own projection column before feeding
+    :func:`shingles_of_word_hashes`: interpreted HOF lambda bodies
+    re-evaluate any non-attribute subtree PER ELEMENT (no CSE — the
+    simhash portable path documents the same trap), so an inline
+    word-hash array inside the per-position slice lambda costs
+    O(words²) hashes instead of O(words)."""
+    return F.transform(F.split(F.trim(text), r"\s+"),
+                       lambda t: F.xxhash64(t))
+
+
+def shingles_of_word_hashes(wh: Column, w: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes (array<long>) from a MATERIALIZED
+    :func:`word_hashes` column, WITHOUT building the shingle strings:
+    every shingle is ``xxhash64(slice(word_hashes, i, w))`` — the same
+    O(w)-per-position long-slice trick as ``_merged_repeated_spans``.
+    Equality on these hashes ≡ equality on the joined shingle strings
+    (words contain no whitespace, so the word sequence ↔ string map is
+    bijective) up to 64-bit collisions — the same ~2^-64-per-pair risk
+    budget as :func:`hashed_shingles`. Callers that only ever COMPARE
+    shingles (prefix join, gram index probe, distinct counts) get
+    identical results while skipping the per-shingle concat_ws string
+    allocation + long-string hash."""
+    nw = F.size(wh)
     sh = F.array_distinct(F.transform(
-        idx, lambda i: F.xxhash64(F.slice(wh, i + 1, w))))
+        F.sequence(F.lit(0), nw - w),
+        lambda i: F.xxhash64(F.slice(wh, i + 1, w))))
     return F.when(nw >= w, sh).otherwise(F.array().cast("array<long>"))
 
 
@@ -420,7 +430,8 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
                    & (F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
                       >= w))
             .select(F.col(id_col).alias("id"),
-                    hashed_word_shingles(F.col(text_col), w)
+                    word_hashes(F.col(text_col)).alias("__wh"))
+            .select("id", shingles_of_word_hashes(F.col("__wh"), w)
                     .alias("hsh"))
             .withColumn("sz", F.size("hsh")))
     g = base.select("id", "sz", F.explode("hsh").alias("gram"))
@@ -1079,25 +1090,26 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     husk). Deterministic on any engine/partitioning: the winner rule
     has no ties.
 
-    Scale shape: posexplode -> ONE shuffle of the exploded rows keyed
-    on xxhash64(paragraph) [the natural dedup key, as a long], winner
-    = min (id, idx) via a window over that partition -> groupBy(doc)
-    reassembly. One corpus shuffle total: the earlier groupBy-winners +
-    join-back shape moved the paragraph strings twice. Hash collisions
-    would merge two distinct paragraphs' windows with
-    p ~ |paragraphs|^2 / 2^64 — immaterial, and the string-keyed SQL
-    oracle would catch it.
+    Scale shape: the exploded relation carries ``(id, idx,
+    xxhash64(paragraph))`` — 20-byte long rows, never the paragraph
+    strings — through BOTH wide stages (the winner window keyed on the
+    hash and the per-doc regroup); each document's text is then
+    reassembled from its OWN row by re-splitting and keeping the
+    surviving positions, so paragraph bytes are read in a map stage and
+    never cross an exchange. Hash collisions would merge two distinct
+    paragraphs' windows with p ~ |paragraphs|^2 / 2^64 — immaterial,
+    and the string-keyed SQL oracle would catch it.
     """
     import re as _re
 
     from pyspark.sql import Window
 
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
     exploded = (df.select(F.col(id_col).alias("id"),
-                          F.posexplode(F.split(F.col(text_col),
-                                               _re.escape(sep), -1))
-                           .alias("idx", "para"))
-                  .where(F.length("para") > 0))
-    w = Window.partitionBy(F.xxhash64(F.col("para")))
+                          F.posexplode(parts).alias("idx", "para"))
+                  .where(F.length("para") > 0)
+                  .select("id", "idx", F.xxhash64("para").alias("ph")))
+    w = Window.partitionBy("ph")
     kept = exploded.withColumn(
         "keep", F.struct("id", "idx")
         == F.min(F.struct("id", "idx")).over(w))
@@ -1105,12 +1117,18 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_paragraphs"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.array_sort(F.collect_list(
-            F.when(F.col("keep"), F.struct("idx", "para")))).alias("ps"))
-    text = F.array_join(F.transform("ps", lambda s: s["para"]), sep)
-    return (df.select(F.col(id_col).alias("id")).distinct()
+            F.when(F.col("keep"), F.col("idx")))).alias("kept_idx"))
+    surv = F.filter(
+        F.transform(parts, lambda p, i: F.struct(i.alias("idx"),
+                                                 p.alias("para"))),
+        lambda s: F.array_contains(F.col("kept_idx"), s["idx"]))
+    text = F.array_join(F.transform(surv, lambda s: s["para"]), sep)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias(text_col)).distinct()
               .join(per_doc, "id", "left")
               .select(F.col("id").alias(id_col),
-                      F.coalesce(text, F.lit("")).alias(text_col),
+                      F.when(F.col("kept_idx").isNull(), F.lit(""))
+                       .otherwise(text).alias(text_col),
                       F.coalesce("n_paragraphs", F.lit(0)).cast("long")
                        .alias("n_paragraphs"),
                       F.coalesce("n_kept", F.lit(0)).cast("long")
@@ -1128,20 +1146,20 @@ def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
     are per-document (a paragraph repeated inside one doc counts once).
 
     Returns ``(doc_id, text, n_paragraphs, n_dropped)``. Scale shape:
-    the document-frequency relation is keyed on xxhash64(paragraph) —
-    the count shuffle and the join back move 8-byte longs, not the
-    paragraph strings (collision odds ~|paragraphs|^2 / 2^64,
-    string-keyed SQL oracle would catch one); the exploded side
-    co-shuffles once; per-doc reassembly.
+    every wide stage (the per-doc distinct, the document-frequency
+    count, the join back, the per-doc regroup) moves ``(id, idx,
+    xxhash64(paragraph))`` long rows — the paragraph strings are read
+    in a map stage and reassembled from each document's own re-split
+    row, never shuffled (collision odds ~|paragraphs|^2 / 2^64,
+    string-keyed SQL oracle would catch one).
     """
     import re as _re
 
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
     exploded = (df.select(F.col(id_col).alias("id"),
-                          F.posexplode(F.split(F.col(text_col),
-                                               _re.escape(sep), -1))
-                           .alias("idx", "para"))
+                          F.posexplode(parts).alias("idx", "para"))
                   .where(F.length("para") > 0)
-                  .withColumn("ph", F.xxhash64(F.col("para"))))
+                  .select("id", "idx", F.xxhash64("para").alias("ph")))
     freq = (exploded.select("id", "ph").distinct()
                     .groupBy("ph")
                     .agg(F.count(F.lit(1)).alias("para_df")))
@@ -1151,12 +1169,18 @@ def boilerplate_filter(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_paragraphs"),
         F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
         F.array_sort(F.collect_list(
-            F.when(F.col("keep"), F.struct("idx", "para")))).alias("ps"))
-    text = F.array_join(F.transform("ps", lambda s: s["para"]), sep)
-    return (df.select(F.col(id_col).alias("id")).distinct()
+            F.when(F.col("keep"), F.col("idx")))).alias("kept_idx"))
+    surv = F.filter(
+        F.transform(parts, lambda p, i: F.struct(i.alias("idx"),
+                                                 p.alias("para"))),
+        lambda s: F.array_contains(F.col("kept_idx"), s["idx"]))
+    text = F.array_join(F.transform(surv, lambda s: s["para"]), sep)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias(text_col)).distinct()
               .join(per_doc, "id", "left")
               .select(F.col("id").alias(id_col),
-                      F.coalesce(text, F.lit("")).alias(text_col),
+                      F.when(F.col("kept_idx").isNull(), F.lit(""))
+                       .otherwise(text).alias(text_col),
                       F.coalesce("n_paragraphs", F.lit(0)).cast("long")
                        .alias("n_paragraphs"),
                       F.coalesce("n_dropped", F.lit(0)).cast("long")

@@ -140,15 +140,26 @@ def json_max_depth(col) -> "F.Column":
     best-effort bracket balance (the validator rejects it anyway).
     """
     col = F.col(col) if isinstance(col, str) else col
+    # ONE regex pass: the string-literal alternative wins at any '"'
+    # (so braces inside values vanish with their literal), the
+    # non-bracket alternative sweeps everything else — identical result
+    # to the earlier strip-literals-then-strip-nonbrackets two-pass
+    # (an unterminated quote fails the literal branch and is consumed
+    # by the char branch, exactly as pass 2 removed it), at half the
+    # regex scan cost over the document column.
     brackets = F.regexp_replace(
-        F.regexp_replace(col, _JSON_STR_RE, ""), r"[^{}\[\]]", "")
-    step = lambda c: F.when(c.isin("{", "["), 1).otherwise(-1)  # noqa: E731
-    return F.aggregate(
+        col, _JSON_STR_RE + r"|[^{}\[\]]", "")
+    # fold over ±1 ints (openers are '{' 0x7B / '[' 0x5B): the step is
+    # evaluated once per char instead of twice (cur and mx branches)
+    steps = F.transform(
         F.filter(F.split(brackets, ""), lambda c: c != ""),
+        lambda c: F.when(c.isin("{", "["), 1).otherwise(-1))
+    return F.aggregate(
+        steps,
         F.struct(F.lit(0).alias("cur"), F.lit(0).alias("mx")),
-        lambda a, c: F.struct(
-            (a.cur + step(c)).alias("cur"),
-            F.greatest(a.mx, a.cur + step(c)).alias("mx")),
+        lambda a, s: F.struct(
+            (a.cur + s).alias("cur"),
+            F.greatest(a.mx, a.cur + s).alias("mx")),
         lambda a: a.mx)
 
 

@@ -207,21 +207,29 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     21.5 s → ~1 s at sf1.0, "2 Exchange → 0").
     """
     text = F.col(text_col)
-    lines = F.split(text, "\n")
+    lines = F.split(F.col("__t"), "\n")
     n_lines = F.size(lines)
 
-    words = F.split(F.trim(text), r"\s+")
-    nw = F.size(words)
+    # STAGED projections: interpreted HOF lambda bodies re-evaluate any
+    # non-attribute subtree per element (no CSE), so the word array,
+    # the bigram array, and the fold result each materialize as a
+    # column before the next step references them — without this the
+    # split() re-runs per bigram position and the fold per output
+    # reference (the same trap word_hashes documents).
+    s1 = df.select(F.col(id_col), text.alias("__t"),
+                   F.split(F.trim(text), r"\s+").alias("__words"))
+    nw = F.size("__words")
     bigrams = F.when(nw >= 2, F.transform(
         F.sequence(F.lit(0), nw - 2),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+        lambda i: F.concat_ws(" ", F.slice(F.col("__words"), i + 1, 2)))
     ).otherwise(F.array().cast("array<string>"))
+    s2 = s1.select(F.col(id_col), F.col("__t"), bigrams.alias("__bg"))
     # mode count = longest equal run of the sorted bigram array
     run0 = F.struct(F.lit(None).cast("string").alias("prev"),
                     F.lit(0).cast("long").alias("run"),
                     F.lit(0).cast("long").alias("best"))
     top_n = F.aggregate(
-        F.array_sort(bigrams), run0,
+        F.array_sort(F.col("__bg")), run0,
         lambda acc, x: F.struct(
             x.alias("prev"),
             F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
@@ -231,15 +239,18 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
                 F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
                  .otherwise(F.lit(1).cast("long"))).alias("best")),
         lambda acc: acc["best"])
-    n_bigrams = F.size(bigrams).cast("long")
-    return df.select(
+    s3 = s2.select(F.col(id_col), F.col("__t"),
+                   top_n.alias("top_bigram_n"),
+                   F.size("__bg").cast("long").alias("n_bigrams"))
+    return s3.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
         F.round(F.lit(1.0) - F.size(F.array_distinct(lines))
                 / F.greatest(n_lines, F.lit(1)), 6).alias("dup_line_frac"),
-        top_n.alias("top_bigram_n"),
-        n_bigrams.alias("n_bigrams"),
-        F.round(top_n / F.greatest(n_bigrams, F.lit(1)), 6)
+        F.col("top_bigram_n"),
+        F.col("n_bigrams"),
+        F.round(F.col("top_bigram_n")
+                / F.greatest(F.col("n_bigrams"), F.lit(1)), 6)
          .alias("top_bigram_frac"))
 
 

@@ -25,6 +25,17 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+    # every explode; predicate pushdown then substitutes the FULL array
+    # expression into a scan-level Filter — for the shingle/paragraph
+    # pipelines that inlines a transform() into a filter lambda, which
+    # interpreted HOF evaluation re-runs per element (measured 20x on
+    # the decontamination gram explode at sf1.0: 41 s -> 2 s). The
+    # inferred filter only saves work when empty arrays are common and
+    # cheap to test — our explode sources pre-filter emptiness on cheap
+    # source-side predicates already, so the rule is pure downside here.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     # progress bars and launcher chatter must never touch stdout: the
