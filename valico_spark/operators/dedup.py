@@ -682,6 +682,13 @@ def verify_jaccard_candidates(cand: DataFrame, docs: DataFrame,
     extra = [c for c in cand.columns if c not in ("a_id", "b_id")]
     sh = ensure_min_partitions(docs).select(
         F.col(id_col), hashed_shingles(F.col(text_col), n).alias("sh"))
+    # the candidate relation is referenced THREE times below (both
+    # cand_ids branches + the verify join); exchange reuse dedups its
+    # shuffles but not the post-shuffle banding/distinct work, so
+    # materialize it once (lazy local checkpoint: first action runs the
+    # candidate plan, the other two references read the stored rows —
+    # candidate tables are the pruned sliver, not the corpus)
+    cand = cand.localCheckpoint(eager=False)
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
                     .union(cand.select(F.col("b_id").alias(id_col)))
                     .distinct())

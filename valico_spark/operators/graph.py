@@ -70,11 +70,17 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = _cut(pairs.select(F.col(a_col).alias("u"),
-                              F.col(b_col).alias("v"))
-                      .union(pairs.select(F.col(b_col).alias("u"),
-                                          F.col(a_col).alias("v")))
-                      .distinct())
+    # materialize the DIRECTED pairs once BEFORE mirroring: the union's
+    # two branches each embed the full upstream pair plan, and exchange
+    # reuse only dedups the shuffles — the post-shuffle work (prefix
+    # join, exact-Jaccard verify) executed twice (measured 16.2 s -> 9.0
+    # s on dedup_clusters at sf1.0, where the PPJoin pipeline is ~8 s)
+    directed = _cut(pairs.select(F.col(a_col).alias("u"),
+                                 F.col(b_col).alias("v")))
+    edges = _cut(directed
+                 .union(directed.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+                 .distinct())
     if algorithm == "star":
         return _star_components(edges, max_iter, _cut, strict)
     # materialized once (above): every iteration joins against edges,
