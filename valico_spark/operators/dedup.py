@@ -98,11 +98,17 @@ def collapse_exact(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     w = Window.partitionBy(text_col)
+    # one lazy materialization: reps and dup_edges both read the tagged
+    # relation, and reps additionally feeds banding AND verify in the
+    # precollapse pipelines — without the cut the text-keyed window
+    # re-executes per consumer (lazy localCheckpoint, not persist; see
+    # verify_jaccard_candidates on the cross-run caching distinction)
     tagged = (df.select(F.col(id_col), F.col(text_col))
                 .withColumn("__rep",
                             F.when(F.col(text_col).isNull(),
                                    F.col(id_col))
-                             .otherwise(F.min(id_col).over(w))))
+                             .otherwise(F.min(id_col).over(w)))
+                .localCheckpoint(eager=False))
     reps = (tagged.where(F.col(id_col) == F.col("__rep"))
                   .select(id_col, text_col))
     dup_edges = (tagged.where(F.col(id_col) != F.col("__rep"))
@@ -434,6 +440,14 @@ def jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.8, w: int = 3,
             .select("id", shingles_of_word_hashes(F.col("__wh"), w)
                     .alias("hsh"))
             .withColumn("sz", F.size("hsh")))
+    # base feeds the explode (twice: frequency count + rank join) and
+    # both verify sides — four subtree copies whose exchanges differ by
+    # key, so only a materialization dedups the shingle computation.
+    # Lazy localCheckpoint (NOT persist — see verify_jaccard_candidates
+    # on why persist would be cross-run result caching); at cluster
+    # scale this is one corpus-sized local write traded against three
+    # re-scans + re-shingle passes.
+    base = base.localCheckpoint(eager=False)
     g = base.select("id", "sz", F.explode("hsh").alias("gram"))
     freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
     ranked = (g.join(freq, "gram")
@@ -692,7 +706,16 @@ def verify_jaccard_candidates(cand: DataFrame, docs: DataFrame,
     cand_ids = (cand.select(F.col("a_id").alias(id_col))
                     .union(cand.select(F.col("b_id").alias(id_col)))
                     .distinct())
-    sh_c = sh.join(cand_ids, on=id_col, how="semi")
+    # the filtered shingle sliver feeds BOTH join sides under different
+    # keys (a_id / b_id exchanges differ, so exchange reuse cannot dedup
+    # the scan+shingle+semi-join subtree) — materialize it once. Lazy
+    # localCheckpoint, not persist(): persist registers in the
+    # CacheManager keyed on the canonicalized plan, which would let a
+    # REPEATED run of the same query reuse materialized results across
+    # runs — that is result caching, not optimization. localCheckpoint
+    # re-executes for every freshly constructed query.
+    sh_c = (sh.join(cand_ids, on=id_col, how="semi")
+              .localCheckpoint(eager=False))
     a = sh_c.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh_c.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
     joined = cand.join(a, "a_id").join(b, "b_id")
