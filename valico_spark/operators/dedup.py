@@ -669,10 +669,15 @@ def minhash_dedup(df: DataFrame, jaccard_threshold: float = 0.8,
                              precollapse_exact=False)
         return near.unionByName(
             dup_edges.withColumn("jaccard", F.lit(1.0)))
-    cand = ensure_min_partitions(
-        minhash_lsh_candidates(df, num_hashes, bands, n, seed,
-                               id_col, text_col, portable=portable,
-                               max_bucket_size=max_bucket_size))
+    # no ensure_min_partitions here: probing .rdd.getNumPartitions()
+    # on a multi-exchange plan makes AQE materialize every query stage
+    # — i.e. EXECUTES the whole candidate pipeline once just to read a
+    # partition count (measured ~2x on dedup_minhash). The candidate
+    # relation leaves a 32-partition distinct and is checkpointed in
+    # verify_jaccard_candidates, so parallelism is already set.
+    cand = minhash_lsh_candidates(df, num_hashes, bands, n, seed,
+                                  id_col, text_col, portable=portable,
+                                  max_bucket_size=max_bucket_size)
     return verify_jaccard_candidates(cand, df, jaccard_threshold, n,
                                      id_col, text_col)
 

@@ -179,7 +179,6 @@ def all_pairs_above(df: DataFrame, threshold: float,
     to ``max_block_size`` rows (window count under the join's own hash
     partitioning — no extra exchange); ``None`` disables the rail.
     """
-    df = ensure_min_partitions(df)
     if block_col is None and block_bits is None and not allow_quadratic:
         raise ValueError(
             "all_pairs_above without block_col/block_bits is a crossJoin "
@@ -205,9 +204,13 @@ def all_pairs_above(df: DataFrame, threshold: float,
         df = df.where(F.col(block_col).isNotNull())
     if block_col is not None and engine == "arrow":
         # vectorized per-block engine (guide §4.2): the group-size rail
-        # lives inside the worker with the same message contract
+        # lives inside the worker with the same message contract. No
+        # ensure_min_partitions on this path — the groupBy(block)
+        # exchange sets parallelism, and probing .rdd partition counts
+        # on a derived plan makes AQE execute its query stages early.
         return _blocked_pairs_arrow(df, threshold, id_col, vec_col,
                                     block_col, max_block_size)
+    df = ensure_min_partitions(df)
     if block_col is not None and max_block_size is not None:
         df = cap_group_size(
             df, [block_col], max_block_size, "all_pairs_above",

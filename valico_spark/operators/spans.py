@@ -17,16 +17,28 @@ from pyspark.sql import functions as F
 def spans_strictly_increasing(spans: Column) -> Column:
     """True iff ``offset`` is strictly increasing across the span array.
 
-    zip_with(spans, tail(spans)) keeps everything inside codegen; NULL
-    offsets fail the check (they violate ordering by absence).
+    NULL offsets fail the check (they violate ordering by absence);
+    empty and single-non-null-offset arrays are vacuously ordered.
+    ONE fold over the extracted offset array — the earlier
+    zip_with(slice, slice) shape copied the full span-struct array
+    twice per row and allocated an intermediate boolean array; this
+    keeps a 2-field accumulator and touches each offset once
+    (identical truth table: false ⇔ some offset NULL or some adjacent
+    pair non-increasing).
     """
-    tail = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
-    pairs_ok = F.zip_with(
-        F.slice(spans, 1, F.greatest(F.size(spans) - 1, F.lit(0))), tail,
-        lambda a, b: (a["offset"].isNotNull() & b["offset"].isNotNull()
-                      & (b["offset"] > a["offset"])))
-    return F.coalesce(F.forall(pairs_ok, lambda x: x), F.lit(True)) \
-        & ~F.exists(spans, lambda s: s["offset"].isNull())
+    offs = F.transform(spans, lambda s: s["offset"])
+    stepped = F.aggregate(
+        offs,
+        F.struct(F.lit(None).cast("long").alias("prev"),
+                 F.lit(True).alias("ok")),
+        lambda acc, x: F.struct(
+            x.cast("long").alias("prev"),
+            (acc["ok"] & x.isNotNull()
+             & (acc["prev"].isNull() | (x > acc["prev"]))).alias("ok")),
+        lambda acc: acc["ok"])
+    # aggregate yields NULL for a NULL spans array (the legacy
+    # expression's value there) and the TRUE init for an empty one
+    return stepped
 
 
 def span_signature(spans: Column) -> Column:
