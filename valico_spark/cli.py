@@ -206,8 +206,13 @@ def _curate_main(args) -> int:
                 n=args.remove_repeated_spans, id_col=args.key)
         except ValueError as e:
             # e.g. the input corpus carries clashing stat columns —
-            # record the diagnostic, ship the curated corpus unrewritten
+            # record the diagnostic AND say so loudly: the user asked
+            # for exact-substring dedup and is getting a corpus without
+            # it, which must not be discoverable only via a report key
             report["repeated_spans_error"] = str(e)
+            print(f"WARNING: --remove-repeated-spans skipped, shipping "
+                  f"the curated corpus UNREWRITTEN: {e}",
+                  file=sys.stderr, flush=True)
         else:
             final_path = os.path.join(out, "despanned")
             cleaned.write.mode("overwrite").parquet(final_path)

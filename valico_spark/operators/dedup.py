@@ -738,11 +738,19 @@ def verify_jaccard_candidates(cand: DataFrame, docs: DataFrame,
 # -- Incremental exact dedup (batch vs persisted fingerprint index) ----------
 
 def _text_fp(text_col: str) -> list:
-    """128-bit content fingerprint as two independent 64-bit hashes —
-    merge probability ~n^2/2^128, negligible at 10^12 docs (a single
-    64-bit key would sit at n^2/2^64 ≈ 10^-2 per corpus-sized run)."""
+    """128-bit content fingerprint as two 64-bit hashes over DIFFERENT
+    streams. The salt literal comes FIRST in h2: Spark's multi-column
+    xxhash64 chains (each column's hash seeds the next), so
+    ``xxhash64(text, salt)`` would make h2 a pure function of h1 — any
+    h1 collision would imply an h2 collision, collapsing the pair to
+    64-bit strength (~n^2/2^64 ≈ 10^-2 expected false merges per
+    10^12-doc run). With the salt first, h2 hashes the text from a
+    different seed state, restoring independent-collision behavior:
+    merge probability ~n^2/2^128, negligible at 10^12 docs. NOTE: the
+    fingerprint definition is part of a persisted index's identity —
+    indexes written before this fix must be rebuilt."""
     return [F.xxhash64(F.col(text_col)).alias("h1"),
-            F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)).alias("h2")]
+            F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)).alias("h2")]
 
 
 def exact_dedup_index(df: DataFrame, id_col: str = "doc_id",
